@@ -1,0 +1,280 @@
+"""Block-sparse tensor representation and canvas exchange primitives.
+
+This module replaces the reference's CUDA kernels and ``TensorWrapper``
+machinery with three static-shape XLA primitives:
+
+* ``split_dense``      — dense image -> packed executed blocks
+  (reference ``utils/block_funcs.py:10-83`` ``split_kernel``)
+* ``scatter_pack``     — packed blocks -> persistent block-layout canvas
+  (reference ``utils/block_funcs.py:85-158`` ``combine_kernel``; the canvas
+  *is* the previous frame's combined output, so the reference's
+  clone-previous-output step disappears)
+* ``halo_gather``      — gather padded ``(bs+2p, bs+2p)`` blocks from a
+  canvas, halo pixels coming from the 4/8 spatial neighbors — fresh values if
+  the neighbor executed this frame (it was just scattered), previous-frame
+  values otherwise, zeros at true image borders.  This one primitive replaces
+  the reference's ``transfer_kernel`` (``block_funcs.py:161-237``) +
+  ``repad_kernel`` (``blockpad.py:77-156``) pair and the per-layer FIFO deques
+  of ``BlockFeatures`` (``core/tensorwrapper.py:131-232``): the per-layer
+  canvas is the "latest known features" union that those FIFOs maintained
+  implicitly.
+
+Canvas layout: ``(N*GH*GW + 1, bs, bs, C)`` NHWC-per-block — block-major so a
+scatter/gather is a contiguous row copy, channels in lanes for the TPU's
+(8,128) vector tiles.  The final row is a sentinel row that stays zero: all
+out-of-bounds indices (image borders, padding slots of the capacity ladder)
+point at it, turning border zero-padding and slot masking into plain gathers
+with no branches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blockcopy_tpu.core import grid as gridlib
+
+__all__ = [
+    "BlockPack",
+    "ExecCtx",
+    "is_block",
+    "alloc_canvas",
+    "split_dense",
+    "dense_to_block_layout",
+    "block_layout_to_dense",
+    "scatter_pack",
+    "halo_gather",
+    "combine",
+    "to_dense",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockPack:
+    """Packed executed blocks: ``data[k]`` is block ``idx[k]``.
+
+    ``data``: (capacity, bs, bs, C); ``idx``: (capacity,) flat block index in
+    ``[0, N*GH*GW]`` where the value ``N*GH*GW`` marks an inert padding slot.
+    Grid geometry (``n, gh, gw``) is static metadata.
+    """
+
+    data: jax.Array
+    idx: jax.Array
+    n: int = dataclasses.field(metadata=dict(static=True))
+    gh: int = dataclasses.field(metadata=dict(static=True))
+    gw: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def block_size(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def channels(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def total(self) -> int:
+        return self.n * self.gh * self.gw
+
+    def with_data(self, data: jax.Array) -> "BlockPack":
+        return dataclasses.replace(self, data=data)
+
+
+def is_block(x) -> bool:
+    """Reference parity: ``blockcopy.is_block`` (``core/tensorwrapper.py:24``)."""
+    return isinstance(x, BlockPack)
+
+
+def alloc_canvas(n: int, gh: int, gw: int, bs: int, c: int, dtype) -> jax.Array:
+    """Zero canvas with one extra sentinel row (stays zero forever)."""
+    return jnp.zeros((n * gh * gw + 1, bs, bs, c), dtype=dtype)
+
+
+def dense_to_block_layout(x: jax.Array, gh: int, gw: int) -> jax.Array:
+    """(N, H, W, C) -> (N*GH*GW, bs, bs, C)."""
+    n, h, w, c = x.shape
+    bs_h, bs_w = h // gh, w // gw
+    assert bs_h == bs_w, (x.shape, gh, gw)
+    x = x.reshape(n, gh, bs_h, gw, bs_w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n * gh * gw, bs_h, bs_w, c)
+
+
+def block_layout_to_dense(
+    blocks: jax.Array, n: int, gh: int, gw: int
+) -> jax.Array:
+    """(N*GH*GW[+1], bs, bs, C) -> (N, GH*bs, GW*bs, C). Sentinel row dropped."""
+    total = n * gh * gw
+    blocks = blocks[:total]
+    bs, c = blocks.shape[1], blocks.shape[-1]
+    x = blocks.reshape(n, gh, gw, bs, bs, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, gh * bs, gw * bs, c)
+
+
+def split_dense(
+    x: jax.Array, idx: jax.Array, n: int, gh: int, gw: int
+) -> BlockPack:
+    """Gather executed blocks from a dense (N, H, W, C) image."""
+    layout = dense_to_block_layout(x, gh, gw)
+    data = jnp.take(layout, idx, axis=0, mode="fill", fill_value=0)
+    return BlockPack(data=data, idx=idx, n=n, gh=gh, gw=gw)
+
+
+def split_block_layout(
+    canvas: jax.Array, idx: jax.Array, n: int, gh: int, gw: int
+) -> BlockPack:
+    """Gather executed blocks straight from a block-layout canvas."""
+    data = jnp.take(canvas, idx, axis=0, mode="fill", fill_value=0)
+    return BlockPack(data=data, idx=idx, n=n, gh=gh, gw=gw)
+
+
+def scatter_pack(canvas: jax.Array, pack: BlockPack) -> jax.Array:
+    """Write executed blocks into the canvas; padding slots (sentinel index)
+    land on the sentinel row which is immediately re-zeroed.
+
+    The canvas afterwards holds the latest known value of every block — the
+    role the reference's combine-over-previous-output played
+    (``core/tensorwrapper.py:397-443``).
+    """
+    canvas = canvas.at[pack.idx].set(pack.data.astype(canvas.dtype), mode="drop")
+    # Padding slots wrote garbage to the sentinel row; restore it to zero so
+    # border halos stay zero.
+    return canvas.at[-1].set(0.0)
+
+
+def halo_gather(
+    canvas: jax.Array, pack_idx: jax.Array, pad: int, n: int, gh: int, gw: int
+) -> jax.Array:
+    """Gather ``(K, bs+2p, bs+2p, C)`` padded blocks from a canvas.
+
+    Must be called *after* ``scatter_pack`` of the current frame's blocks so
+    that executed neighbors contribute same-frame values — this ordering
+    reproduces the reference repad kernel's executed-vs-transferred source
+    selection (``utils/blockpad.py:108-146``) with zero control flow.
+    """
+    p = pad
+    assert p > 0
+    nbr = gridlib.neighbor_indices(pack_idx, n, gh, gw)  # (K, 8)
+    tl, t, tr, l, r, bl, b, br = (nbr[:, i] for i in range(8))
+
+    def take(src: jax.Array, i: jax.Array) -> jax.Array:
+        # Sentinel row is zero, so OOB neighbors yield zero halo (= the dense
+        # model's zero padding at image borders).
+        return jnp.take(src, i, axis=0, mode="clip")
+
+    center = take(canvas, pack_idx)
+    # Slice-then-gather: XLA fuses the strided slice into the gather so only
+    # the strip bytes move.
+    top = take(canvas[:, -p:, :, :], t)
+    bottom = take(canvas[:, :p, :, :], b)
+    left = take(canvas[:, :, -p:, :], l)
+    right = take(canvas[:, :, :p, :], r)
+    top_left = take(canvas[:, -p:, -p:, :], tl)
+    top_right = take(canvas[:, -p:, :p, :], tr)
+    bottom_left = take(canvas[:, :p, -p:, :], bl)
+    bottom_right = take(canvas[:, :p, :p, :], br)
+
+    row_top = jnp.concatenate([top_left, top, top_right], axis=2)
+    row_mid = jnp.concatenate([left, center, right], axis=2)
+    row_bot = jnp.concatenate([bottom_left, bottom, bottom_right], axis=2)
+    return jnp.concatenate([row_top, row_mid, row_bot], axis=1)
+
+
+@dataclasses.dataclass
+class ExecCtx:
+    """Trace-time execution context threaded through a blocked model.
+
+    ``canvases`` maps a stable layer name -> persistent feature canvas; the
+    dict is read/updated while tracing and becomes part of the carried
+    temporal state (the functional replacement for the reference's
+    ``BlockFeatures`` FIFOs whose correctness relied on an identical op
+    sequence every frame — here alignment is by name, structurally).
+
+    ``idx`` is the shared flat index vector of executed blocks: the grid is
+    identical at every feature resolution, only the per-block pixel size
+    changes.
+
+    A ``dense`` ctx (``ExecCtx.dense()``) makes every layer run the ordinary
+    dense computation, giving the static baseline from the same model code.
+    """
+
+    mode: str  # 'blocked' | 'dense'
+    n: int = 1
+    gh: int = 0
+    gw: int = 0
+    idx: Optional[jax.Array] = None
+    canvases: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    # When True, canvases are created on the fly (shape-inference pass).
+    building: bool = False
+
+    @classmethod
+    def dense(cls) -> "ExecCtx":
+        return cls(mode="dense")
+
+    @classmethod
+    def blocked(cls, idx, n, gh, gw, canvases, building=False) -> "ExecCtx":
+        return cls(
+            mode="blocked", n=n, gh=gh, gw=gw, idx=idx, canvases=canvases,
+            building=building,
+        )
+
+    @property
+    def is_dense(self) -> bool:
+        return self.mode == "dense"
+
+    def canvas_for(self, name: str, like: BlockPack) -> jax.Array:
+        if name not in self.canvases:
+            if not self.building:
+                raise KeyError(
+                    f"no canvas for layer '{name}'; temporal state was not "
+                    f"initialized for this model (did the op sequence change?)"
+                )
+            self.canvases[name] = alloc_canvas(
+                self.n, self.gh, self.gw, like.block_size, like.channels,
+                like.data.dtype,
+            )
+        return self.canvases[name]
+
+    def exchange(self, name: str, x: BlockPack, pad: int) -> jax.Array:
+        """Scatter current blocks into the named canvas, return halo-padded
+        blocks ``(K, bs+2p, bs+2p, C)``."""
+        canvas = self.canvas_for(name, x)
+        canvas = scatter_pack(canvas, x)
+        self.canvases[name] = canvas
+        return halo_gather(canvas, x.idx, pad, self.n, self.gh, self.gw)
+
+    def store_dense(self, name: str, x: BlockPack) -> jax.Array:
+        """Scatter blocks into the named canvas and return the dense image —
+        the reference's ``combine_()`` (``core/tensorwrapper.py:391-395``)."""
+        canvas = self.canvas_for(name, x)
+        canvas = scatter_pack(canvas, x)
+        self.canvases[name] = canvas
+        return block_layout_to_dense(canvas, self.n, self.gh, self.gw)
+
+    def split_like(self, x: jax.Array) -> BlockPack:
+        """Dense image -> executed blocks with this ctx's grid — the
+        reference's ``to_blocks_like`` (``core/tensorwrapper.py:325-333``)."""
+        return split_dense(x, self.idx, self.n, self.gh, self.gw)
+
+
+def combine(ctx: ExecCtx, name: str, x: BlockPack) -> jax.Array:
+    """Public helper: blocked -> dense through a persistent canvas."""
+    return ctx.store_dense(name, x)
+
+
+def to_dense(x, ctx: Optional[ExecCtx] = None, name: str = "out"):
+    """Reference parity with ``blockcopy.to_tensor``: dense tensors pass
+    through, packs are combined through ``ctx``."""
+    if isinstance(x, BlockPack):
+        assert ctx is not None
+        return combine(ctx, name, x)
+    return x

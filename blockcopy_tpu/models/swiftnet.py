@@ -1,0 +1,294 @@
+"""SwiftNet semantic segmentation model (dense + blocked from one definition).
+
+Functional JAX port of the reference architecture
+(``semantic_segmentation/lib/models/swiftnet/swiftnet.py:13-97``,
+``util.py:40-138``, ``backbones/resnet.py``): a torchvision-style ResNet
+encoder (``forward_down``), Spatial Pyramid Pooling over the last stage
+(dense, via the ``noblocks`` combinator — reference decorates SPP with
+``@blockcopy_noblocks``, ``util.py:113``), and three ``_Upsample`` decoder
+stages (1x1 bottleneck on the skip, 2x bilinear upsample, add, 3x3 blend)
+followed by a 1x1 logits head.  Output stride 4.
+
+BatchNorm is inference-mode and stored pre-folded as (scale, bias) — see
+``ops.layers.batch_norm``.  ``_BNReluConv`` order is BN -> ReLU -> conv
+(reference ``util.py:40-56``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from blockcopy_tpu.core.blocked import ExecCtx
+from blockcopy_tpu.core.engine import noblocks
+from blockcopy_tpu.ops import layers as L
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    layers: Sequence[int]
+    bottleneck: bool
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.bottleneck else 1
+
+    @property
+    def block_features(self) -> List[int]:
+        # channel count after each stage (reference backbones/resnet.py:200-208)
+        return [c * self.expansion for c in (64, 128, 256, 512)]
+
+
+RESNETS = {
+    "resnet18": ResNetConfig((2, 2, 2, 2), False),
+    "resnet34": ResNetConfig((3, 4, 6, 3), False),
+    "resnet50": ResNetConfig((3, 4, 6, 3), True),
+    "resnet101": ResNetConfig((3, 4, 23, 3), True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SwiftNetConfig:
+    backbone: str = "resnet18"
+    num_classes: int = 19
+    num_features: int = 128
+    spp_grids: Sequence[int] = (8, 4, 2, 1)
+    spp_levels: int = 3
+
+    @property
+    def resnet(self) -> ResNetConfig:
+        return RESNETS[self.backbone]
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(key, kh, kw, cin, cout, bias=False, dtype=jnp.float32):
+    n = kh * kw * cout  # kaiming fan_out, relu (reference swiftnet.py:63-65)
+    p = {"w": (jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+               * jnp.sqrt(2.0 / n)).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _bn_init(c, dtype=jnp.float32):
+    # folded eval-mode BN: identity at init
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _bnrc_init(key, cin, cout, k, bias=False, batch_norm=True, dtype=jnp.float32):
+    p = {"conv": _conv_init(key, k, k, cin, cout, bias=bias, dtype=dtype)}
+    if batch_norm:
+        p["bn"] = _bn_init(cin, dtype)
+    return p
+
+
+def _basic_block_init(key, cin, cout, stride, dtype):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout, dtype=dtype),
+        "bn1": _bn_init(cout, dtype),
+        "conv2": _conv_init(ks[1], 3, 3, cout, cout, dtype=dtype),
+        "bn2": _bn_init(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {
+            "conv": _conv_init(ks[2], 1, 1, cin, cout, dtype=dtype),
+            "bn": _bn_init(cout, dtype),
+        }
+    return p
+
+
+def _bottleneck_init(key, cin, planes, stride, dtype):
+    cout = planes * 4
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(ks[0], 1, 1, cin, planes, dtype=dtype),
+        "bn1": _bn_init(planes, dtype),
+        "conv2": _conv_init(ks[1], 3, 3, planes, planes, dtype=dtype),
+        "bn2": _bn_init(planes, dtype),
+        "conv3": _conv_init(ks[2], 1, 1, planes, cout, dtype=dtype),
+        "bn3": _bn_init(cout, dtype),
+    }
+    if stride != 1 or cin != cout:
+        p["downsample"] = {
+            "conv": _conv_init(ks[3], 1, 1, cin, cout, dtype=dtype),
+            "bn": _bn_init(cout, dtype),
+        }
+    return p
+
+
+def init_resnet(key, cfg: ResNetConfig, dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(key, 5)
+    params: Dict = {
+        "conv1": _conv_init(ks[0], 7, 7, 3, 64, dtype=dtype),
+        "bn1": _bn_init(64, dtype),
+    }
+    cin = 64
+    for stage, (planes, blocks) in enumerate(
+        zip((64, 128, 256, 512), cfg.layers)
+    ):
+        stride = 1 if stage == 0 else 2
+        stage_params = []
+        bkeys = jax.random.split(ks[1 + stage], blocks)
+        for b in range(blocks):
+            s = stride if b == 0 else 1
+            if cfg.bottleneck:
+                stage_params.append(_bottleneck_init(bkeys[b], cin, planes, s, dtype))
+                cin = planes * 4
+            else:
+                stage_params.append(_basic_block_init(bkeys[b], cin, planes, s, dtype))
+                cin = planes
+        params[f"layer{stage + 1}"] = stage_params
+    return params
+
+
+def init_swiftnet(key, cfg: SwiftNetConfig, dtype=jnp.float32) -> Dict:
+    ks = jax.random.split(key, 8)
+    rn = cfg.resnet
+    up_features = rn.block_features
+    nf = cfg.num_features
+    params: Dict = {"backbone": init_resnet(ks[0], rn, dtype)}
+    # SPP: bn (in->bt), levels (bt->level_size)x3, fuse (final->out)
+    level_size = nf // cfg.spp_levels
+    final_size = nf + cfg.spp_levels * level_size
+    lk = jax.random.split(ks[1], cfg.spp_levels)
+    params["spp"] = {
+        "bn": _bnrc_init(ks[2], up_features[3], nf, 1, dtype=dtype),
+        "levels": [
+            _bnrc_init(lk[i], nf, level_size, 1, dtype=dtype)
+            for i in range(cfg.spp_levels)
+        ],
+        "fuse": _bnrc_init(ks[3], final_size, nf, 1, dtype=dtype),
+    }
+    # decoder: 3 upsample stages with skips from layer3, layer2, layer1
+    ups = []
+    for i, skip_ch in enumerate([up_features[2], up_features[1], up_features[0]]):
+        k1, k2 = jax.random.split(jax.random.fold_in(ks[4], i))
+        ups.append({
+            "bottleneck": _bnrc_init(k1, skip_ch, nf, 1, dtype=dtype),
+            "blend": _bnrc_init(k2, nf, nf, 3, dtype=dtype),
+        })
+    params["ups"] = ups
+    params["logits"] = _bnrc_init(ks[5], nf, cfg.num_classes, 1, bias=True,
+                                  dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _bnrc(ctx: ExecCtx, name: str, x, p, stride=1, dilation=1):
+    """BN -> ReLU -> conv (reference ``util.py:40-56``)."""
+    if "bn" in p:
+        x = L.batch_norm(x, p["bn"]["scale"], p["bn"]["bias"])
+    x = L.relu(x)
+    return L.conv2d(ctx, name, x, p["conv"]["w"], p["conv"].get("b"),
+                    stride=stride, dilation=dilation)
+
+
+def _basic_block(ctx, name, x, p, stride):
+    identity = x
+    if "downsample" in p:
+        identity = L.conv2d(ctx, f"{name}.ds", x, p["downsample"]["conv"]["w"],
+                            stride=stride, padding=0)
+        identity = L.batch_norm(identity, p["downsample"]["bn"]["scale"],
+                                p["downsample"]["bn"]["bias"])
+    out = L.conv2d(ctx, f"{name}.conv1", x, p["conv1"]["w"], stride=stride)
+    out = L.batch_norm(out, p["bn1"]["scale"], p["bn1"]["bias"])
+    out = L.relu(out)
+    out = L.conv2d(ctx, f"{name}.conv2", out, p["conv2"]["w"])
+    out = L.batch_norm(out, p["bn2"]["scale"], p["bn2"]["bias"])
+    out = L.add(out, identity)
+    return L.relu(out)
+
+
+def _bottleneck_block(ctx, name, x, p, stride):
+    identity = x
+    if "downsample" in p:
+        identity = L.conv2d(ctx, f"{name}.ds", x, p["downsample"]["conv"]["w"],
+                            stride=stride, padding=0)
+        identity = L.batch_norm(identity, p["downsample"]["bn"]["scale"],
+                                p["downsample"]["bn"]["bias"])
+    out = L.conv2d(ctx, f"{name}.conv1", x, p["conv1"]["w"], padding=0)
+    out = L.batch_norm(out, p["bn1"]["scale"], p["bn1"]["bias"])
+    out = L.relu(out)
+    out = L.conv2d(ctx, f"{name}.conv2", out, p["conv2"]["w"], stride=stride)
+    out = L.batch_norm(out, p["bn2"]["scale"], p["bn2"]["bias"])
+    out = L.relu(out)
+    out = L.conv2d(ctx, f"{name}.conv3", out, p["conv3"]["w"], padding=0)
+    out = L.batch_norm(out, p["bn3"]["scale"], p["bn3"]["bias"])
+    out = L.add(out, identity)
+    return L.relu(out)
+
+
+def resnet_forward_down(params, x, ctx: ExecCtx, cfg: ResNetConfig):
+    """Backbone ``forward_down`` (reference ``backbones/resnet.py:288-304``):
+    returns the four stage features."""
+    x = L.conv2d(ctx, "backbone.conv1", x, params["conv1"]["w"], stride=2,
+                 padding=3)
+    x = L.batch_norm(x, params["bn1"]["scale"], params["bn1"]["bias"])
+    x = L.relu(x)
+    x = L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2, padding=1)
+    feats = []
+    block_fn = _bottleneck_block if cfg.bottleneck else _basic_block
+    for stage in range(4):
+        stride = 1 if stage == 0 else 2
+        for b, p in enumerate(params[f"layer{stage + 1}"]):
+            s = stride if b == 0 else 1
+            x = block_fn(ctx, f"backbone.layer{stage + 1}.{b}", x, p, s)
+        feats.append(x)
+    return feats
+
+
+def spp_forward_dense(params, x, cfg: SwiftNetConfig):
+    """Dense SPP (reference ``util.py:85-138``); called through ``noblocks``."""
+    dense_ctx = ExecCtx.dense()
+    h, w = x.shape[1], x.shape[2]
+    ar = w / h
+    x = _bnrc(dense_ctx, "spp.bn", x, params["bn"])
+    levels = [x]
+    for i in range(cfg.spp_levels):
+        g = cfg.spp_grids[i]
+        grid_size = (g, max(1, round(ar * g)))
+        pooled = L.adaptive_avg_pool2d(x, grid_size)
+        lvl = _bnrc(dense_ctx, f"spp.level{i}", pooled, params["levels"][i])
+        levels.append(L.resize_bilinear(lvl, (h, w)))
+    cat = jnp.concatenate(levels, axis=-1)
+    return _bnrc(dense_ctx, "spp.fuse", cat, params["fuse"])
+
+
+def _upsample_stage(ctx, name, x, skip, p):
+    """Reference ``_Upsample.forward`` (``util.py:71-83``)."""
+    skip = _bnrc(ctx, f"{name}.bottleneck", skip, p["bottleneck"])
+    x = L.upsample2x(x)
+    x = L.add(x, skip)
+    return _bnrc(ctx, f"{name}.blend", x, p["blend"])
+
+
+def swiftnet_apply(params, x, ctx: ExecCtx, cfg: SwiftNetConfig):
+    """Full forward: logits at output stride 4."""
+    feats = resnet_forward_down(params["backbone"], x, ctx, cfg.resnet)
+    out = noblocks(ctx, "spp", feats[3],
+                   lambda d: spp_forward_dense(params["spp"], d, cfg))
+    for i, skip in enumerate([feats[2], feats[1], feats[0]]):
+        out = _upsample_stage(ctx, f"up{i}", out, skip, params["ups"][i])
+    return _bnrc(ctx, "logits", out, params["logits"])
+
+
+def make_apply_fn(cfg: SwiftNetConfig):
+    def apply_fn(params, x, ctx):
+        return swiftnet_apply(params, x, ctx, cfg)
+    return apply_fn

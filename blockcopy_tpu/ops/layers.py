@@ -1,0 +1,330 @@
+"""Blocked / dense NN layer set.
+
+The reference intercepts every torch op through ``TensorWrapper.
+__torch_function__`` and rewrites it per a category table
+(``core/tensorwrapper.py:69-105,478-633``).  Interception-by-subclass is a
+PyTorch idiom; the JAX-idiomatic equivalent is this explicit layer library:
+every layer takes an ``ExecCtx`` and handles both the dense and the
+block-sparse representation, so one model definition serves the static
+baseline and the BlockCopy path.
+
+Category mapping (reference -> here):
+
+* PADDED ops (conv2d / max_pool2d / avg_pool2d)  -> ``conv2d`` / ``max_pool2d``
+  / ``avg_pool2d`` with canvas halo exchange (replaces blockpad).
+* INTERPOLATE      -> ``upsample2x`` / ``resize_bilinear`` (per block, exactly
+  like the reference which upsamples the packed tensor; the reference's
+  bilinear->trilinear perf workaround ``tensorwrapper.py:577-598`` is a CUDA
+  quirk and is deliberately not replicated).
+* BATCHED (group_norm) -> ``group_norm`` with masked joint statistics over all
+  valid blocks (replaces the fold-blocks-into-width trick,
+  ``tensorwrapper.py:600-633``).
+* CHANNELONLY / elementwise -> ``emap`` and friends.
+* INCOMPATIBLE ops -> use ``blockcopy_noblocks`` (``core/engine.py``).
+
+Layout: NHWC activations, HWIO weights — channels in vector lanes, convs on
+the MXU via ``lax.conv_general_dilated``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from blockcopy_tpu.core.blocked import BlockPack, ExecCtx
+
+Arrayish = Union[jax.Array, BlockPack]
+
+DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _data(x: Arrayish) -> jax.Array:
+    return x.data if isinstance(x, BlockPack) else x
+
+
+def _rewrap(x: Arrayish, data: jax.Array) -> Arrayish:
+    return x.with_data(data) if isinstance(x, BlockPack) else data
+
+
+def emap(fn, x: Arrayish, *rest: Arrayish) -> Arrayish:
+    """Apply an elementwise/shape-preserving fn to dense or blocked input."""
+    return _rewrap(x, fn(_data(x), *(_data(r) for r in rest)))
+
+
+def relu(x: Arrayish) -> Arrayish:
+    return emap(lambda d: jnp.maximum(d, 0), x)
+
+
+def add(a: Arrayish, b: Arrayish) -> Arrayish:
+    return emap(lambda x, y: x + y, a, b)
+
+
+def concat_channels(xs: Sequence[Arrayish]) -> Arrayish:
+    datas = [_data(x) for x in xs]
+    return _rewrap(xs[0], jnp.concatenate(datas, axis=-1))
+
+
+def conv2d(
+    ctx: ExecCtx,
+    name: str,
+    x: Arrayish,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    padding: Optional[int] = None,
+) -> Arrayish:
+    """2D convolution; blocked inputs with padding>0 go through the canvas
+    halo exchange (replaces reference ``_func_replace_paddding``,
+    ``core/tensorwrapper.py:529-575``).
+
+    ``padding=None`` means SAME-style ``((k-1)//2) * dilation`` for odd k.
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    if padding is None:
+        assert kh == kw
+        padding = ((kh - 1) // 2) * dilation
+    s, d, p = stride, dilation, padding
+
+    def run(data: jax.Array, pad_cfg) -> jax.Array:
+        out = lax.conv_general_dilated(
+            data,
+            w.astype(data.dtype),
+            window_strides=(s, s),
+            padding=pad_cfg,
+            rhs_dilation=(d, d),
+            dimension_numbers=DIMNUMS,
+            preferred_element_type=jnp.float32,
+        ).astype(data.dtype)
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+
+    if isinstance(x, BlockPack) and not ctx.is_dense:
+        if p > 0:
+            data = ctx.exchange(name, x, p)
+            return x.with_data(run(data, "VALID"))
+        return x.with_data(run(x.data, "VALID"))
+    data = _data(x)
+    return _rewrap(x, run(data, [(p, p), (p, p)]))
+
+
+def conv_transpose2d(
+    ctx: ExecCtx,
+    name: str,
+    x: Arrayish,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    stride: int = 2,
+    padding: int = 0,
+    output_padding: int = 0,
+) -> Arrayish:
+    """Transposed convolution (CSP neck upsampling heads,
+    reference ``Pedestron/mmdet/models/necks/csp_neck.py:37-83``).
+
+    With padding==0 a transposed conv touches no out-of-block context, so the
+    blocked path needs no halo (the reference likewise runs ConvTranspose2d
+    per block without interception).  ``w`` is HWIO with I=in, O=out.
+    """
+    def run(data: jax.Array) -> jax.Array:
+        kh, kw = w.shape[0], w.shape[1]
+        pad = (
+            (kh - 1 - padding, kh - 1 - padding + output_padding),
+            (kw - 1 - padding, kw - 1 - padding + output_padding),
+        )
+        out = lax.conv_general_dilated(
+            data,
+            jnp.flip(w, (0, 1)).astype(data.dtype),
+            window_strides=(1, 1),
+            padding=pad,
+            lhs_dilation=(stride, stride),
+            dimension_numbers=DIMNUMS,
+            preferred_element_type=jnp.float32,
+        ).astype(data.dtype)
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out
+
+    return _rewrap(x, run(_data(x)))
+
+
+def batch_norm(x: Arrayish, scale: jax.Array, bias: jax.Array) -> Arrayish:
+    """Inference-mode BatchNorm as a folded affine op.
+
+    ``scale = gamma / sqrt(running_var + eps)``, ``bias = beta - mean*scale``
+    are precomputed at weight load — the same arithmetic the reference applies
+    by folding BN into convs (``semantic_segmentation/lib/utils/
+    bn_fusion.py:6-74``) but valid even where no adjacent conv exists.
+    """
+    return emap(
+        lambda d: d * scale.astype(d.dtype) + bias.astype(d.dtype), x
+    )
+
+
+def group_norm(
+    x: Arrayish,
+    num_groups: int,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-5,
+) -> Arrayish:
+    """GroupNorm with statistics over the whole (masked) image.
+
+    Reference semantics: blocks are folded out of the batch dimension so GN
+    statistics span all executed blocks of the image jointly
+    (``core/tensorwrapper.py:600-633``, batch-size-1 only).  Here: masked
+    moments over valid blocks; padding slots excluded via the index sentinel.
+    """
+    if isinstance(x, BlockPack):
+        d = x.data.astype(jnp.float32)
+        k, bs, _, c = d.shape
+        g = num_groups
+        valid = (x.idx < x.total).astype(jnp.float32)  # (K,)
+        count = jnp.maximum(valid.sum() * bs * bs * (c // g), 1.0)
+        dg = d.reshape(k, bs, bs, g, c // g)
+        vm = valid[:, None, None, None, None]
+        mean = (dg * vm).sum(axis=(0, 1, 2, 4)) / count  # (g,)
+        cent = dg - mean[None, None, None, :, None]
+        var = (cent * cent * vm).sum(axis=(0, 1, 2, 4)) / count
+        out = cent * lax.rsqrt(var + eps)[None, None, None, :, None]
+        out = out.reshape(k, bs, bs, c) * gamma + beta
+        return x.with_data(out.astype(x.data.dtype))
+    d = x.astype(jnp.float32)
+    n, h, w, c = d.shape
+    g = num_groups
+    dg = d.reshape(n, h, w, g, c // g)
+    mean = dg.mean(axis=(1, 2, 4), keepdims=True)
+    var = ((dg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+    out = (dg - mean) * lax.rsqrt(var + eps)
+    out = out.reshape(n, h, w, c) * gamma + beta
+    return out.astype(x.dtype)
+
+
+def max_pool2d(
+    ctx: ExecCtx,
+    name: str,
+    x: Arrayish,
+    kernel: int = 3,
+    stride: int = 2,
+    padding: int = 1,
+) -> Arrayish:
+    """Max pooling; blocked path uses the canvas halo exchange like conv.
+
+    Borders: the blocked path pads with zeros (reference blockpad semantics,
+    ``utils/blockpad.py:119-120``), the dense path with -inf (torch
+    semantics).  Identical on the post-ReLU non-negative activations where
+    pooling occurs; documented reference quirk.
+    """
+
+    def pool(data: jax.Array, pad_cfg, init) -> jax.Array:
+        return lax.reduce_window(
+            data,
+            init,
+            lax.max,
+            window_dimensions=(1, kernel, kernel, 1),
+            window_strides=(1, stride, stride, 1),
+            padding=pad_cfg,
+        )
+
+    if isinstance(x, BlockPack) and not ctx.is_dense:
+        if padding > 0:
+            data = ctx.exchange(name, x, padding)
+        else:
+            data = x.data
+        return x.with_data(
+            pool(data, "VALID", jnp.array(-jnp.inf, data.dtype))
+        )
+    data = _data(x)
+    pad_cfg = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return _rewrap(x, pool(data, pad_cfg, jnp.array(-jnp.inf, data.dtype)))
+
+
+def avg_pool2d(x: Arrayish, kernel: int, stride: Optional[int] = None) -> Arrayish:
+    """Non-overlapping average pooling (used by SPP's adaptive pools whose
+    output evenly divides the input)."""
+    stride = stride or kernel
+
+    def pool(data: jax.Array) -> jax.Array:
+        s = lax.reduce_window(
+            data.astype(jnp.float32),
+            0.0,
+            lax.add,
+            window_dimensions=(1, kernel, kernel, 1),
+            window_strides=(1, stride, stride, 1),
+            padding="VALID",
+        )
+        return (s / (kernel * kernel)).astype(data.dtype)
+
+    return emap(pool, x)
+
+
+def adaptive_avg_pool2d(x: jax.Array, out_hw) -> jax.Array:
+    """Dense adaptive average pool for evenly-dividing targets
+    (SPP grids: ``semantic_segmentation/lib/models/swiftnet/util.py:118-133``)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    assert h % oh == 0 and w % ow == 0, (x.shape, out_hw)
+    kh, kw = h // oh, w // ow
+    s = lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, kh, kw, 1),
+        padding="VALID",
+    )
+    return (s / (kh * kw)).astype(x.dtype)
+
+
+def adaptive_max_pool2d(x: jax.Array, out_hw) -> jax.Array:
+    """Dense adaptive max pool for evenly-dividing targets (reward
+    downsampling, reference ``policy/policy.py:339``)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    assert h % oh == 0 and w % ow == 0, (x.shape, out_hw)
+    kh, kw = h // oh, w // ow
+    return lax.reduce_window(
+        x,
+        jnp.array(-jnp.inf, x.dtype),
+        lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, kh, kw, 1),
+        padding="VALID",
+    )
+
+
+def resize_bilinear(x: Arrayish, out_hw) -> Arrayish:
+    """Bilinear resize with half-pixel centers (torch ``align_corners=False``).
+
+    On blocked inputs this operates per block, exactly like the reference
+    which interpolates the packed tensor directly (INTERPOLATE category).
+    """
+
+    def rs(data: jax.Array) -> jax.Array:
+        lead = data.shape[0]
+        c = data.shape[-1]
+        return jax.image.resize(
+            data, (lead, out_hw[0], out_hw[1], c), method="bilinear"
+        ).astype(data.dtype)
+
+    return emap(rs, x)
+
+
+def upsample2x(x: Arrayish) -> Arrayish:
+    d = _data(x)
+    return resize_bilinear(x, (d.shape[1] * 2, d.shape[2] * 2))
+
+
+def resize_nearest(x: jax.Array, out_hw) -> jax.Array:
+    """Nearest-neighbor resize matching torch ``F.interpolate(mode='nearest')``
+    (floor of source index scaling), used by the policy net input assembly
+    (reference ``policy/net.py:90-111``)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    ry = (jnp.arange(oh) * h // oh).astype(jnp.int32)
+    rx = (jnp.arange(ow) * w // ow).astype(jnp.int32)
+    return x[:, ry][:, :, rx]

@@ -1,0 +1,190 @@
+"""Policy network: CIFAR-style ResNet-8 trunk + 3-layer strided head.
+
+Functional JAX port of the reference architecture
+(``blockcopy/blockcopy/policy/net.py:17-125`` and
+``blockcopy/blockcopy/policy/resnet.py:60-152``): input is the concatenation
+of the 1/4-scale frame, frame-state composite, previous output representation
+(-0.5) and previous grid (-0.5); output is one logit per block.
+
+The net always runs in train mode (the reference asserts ``self.net.training``
+at ``policy/policy.py:280``): BatchNorm normalizes with batch statistics and
+maintains running stats (momentum 0.02) for checkpointing.  The whole policy
+runs in float32 while the task model runs bfloat16 (reference precedent:
+``test_swiftnet.py:119-123``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blockcopy_tpu.ops.layers import resize_nearest
+
+BN_MOMENTUM = 0.02
+BN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# parameter initialization
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kh, kw, cin, cout, bias=False):
+    # normal(0, sqrt(2/n)) with n = kh*kw*cout — the reference's scheme
+    # (policy/resnet.py:141-147 via modules() init loop)
+    n = kh * kw * cout
+    p = {"w": jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+         * jnp.sqrt(2.0 / n)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def _bn_init(c):
+    return {"gamma": jnp.ones((c,), jnp.float32),
+            "beta": jnp.zeros((c,), jnp.float32)}
+
+
+def _bn_state_init(c):
+    return {"mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32)}
+
+
+def _basic_block_init(key, cin, cout, stride):
+    ks = jax.random.split(key, 3)
+    p = {
+        "conv1": _conv_init(ks[0], 3, 3, cin, cout),
+        "bn1": _bn_init(cout),
+        "conv2": _conv_init(ks[1], 3, 3, cout, cout),
+        "bn2": _bn_init(cout),
+    }
+    s = {"bn1": _bn_state_init(cout), "bn2": _bn_state_init(cout)}
+    if stride != 1 or cin != cout:
+        p["down_conv"] = _conv_init(ks[2], 1, 1, cin, cout)
+        p["down_bn"] = _bn_init(cout)
+        s["down_bn"] = _bn_state_init(cout)
+    return p, s
+
+
+def init_policy_net(key, in_channels: int, width_factor: int = 2):
+    """ResNet-8 ([1,1,1] BasicBlocks) trunk + head.  Returns (params, bn_state)."""
+    w = width_factor
+    c1, c2, c3 = 16 * w, 32 * w, 64 * w
+    ks = jax.random.split(key, 8)
+    params: Dict = {"conv1": _conv_init(ks[0], 3, 3, in_channels, c1),
+                    "bn1": _bn_init(c1)}
+    bn_state: Dict = {"bn1": _bn_state_init(c1)}
+    for i, (cin, cout, stride) in enumerate(
+        [(c1, c1, 1), (c1, c2, 2), (c2, c3, 2)]
+    ):
+        p, s = _basic_block_init(ks[1 + i], cin, cout, stride)
+        params[f"layer{i + 1}"] = p
+        bn_state[f"layer{i + 1}"] = s
+    # head: conv3x3 s2 + BN + ReLU, twice, then conv3x3 s2 -> 1 logit (bias)
+    planes = 128
+    params["head0"] = _conv_init(ks[4], 3, 3, c3, planes)
+    params["head0_bn"] = _bn_init(planes)
+    bn_state["head0_bn"] = _bn_state_init(planes)
+    params["head1"] = _conv_init(ks[5], 3, 3, planes, planes)
+    params["head1_bn"] = _bn_init(planes)
+    bn_state["head1_bn"] = _bn_state_init(planes)
+    params["head2"] = _conv_init(ks[6], 3, 3, planes, 1, bias=True)
+    return params, bn_state
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _conv(x, p, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride, stride),
+        padding=[(1, 1), (1, 1)] if p["w"].shape[0] == 3 else [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + (p["b"] if "b" in p else 0.0)
+
+
+def _bn_train(x, p, s, update_stats: bool):
+    """Train-mode BatchNorm: normalize with batch stats; optionally update
+    running stats (torch: biased var for normalization, unbiased for the
+    running update)."""
+    axes = (0, 1, 2)
+    mean = x.mean(axes)
+    var = x.var(axes)
+    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS) * p["gamma"] + p["beta"]
+    if update_stats:
+        count = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * count / max(count - 1, 1)
+        s = {
+            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+        }
+    return y, s
+
+
+def _basic_block(x, p, s, stride, update_stats):
+    identity = x
+    if "down_conv" in p:
+        identity = _conv(x, p["down_conv"], stride)
+        identity, s["down_bn"] = _bn_train(identity, p["down_bn"], s["down_bn"], update_stats)
+    out = _conv(x, p["conv1"], stride)
+    out, s["bn1"] = _bn_train(out, p["bn1"], s["bn1"], update_stats)
+    out = jnp.maximum(out, 0)
+    out = _conv(out, p["conv2"], 1)
+    out, s["bn2"] = _bn_train(out, p["bn2"], s["bn2"], update_stats)
+    out = out + identity
+    return jnp.maximum(out, 0), s
+
+
+def policy_net_apply(params, bn_state, x, update_stats: bool = True):
+    """x: (N, H/4, W/4, Cin) float32 -> logits (N, H/bs, W/bs, 1).
+
+    ``update_stats=False`` is used when the forward is re-traced inside the
+    REINFORCE loss (gradients flow through this apply; running stats must not
+    double-update)."""
+    s = jax.tree.map(lambda a: a, bn_state)  # shallow copy
+    x = _conv(x, params["conv1"], 1)
+    x, s["bn1"] = _bn_train(x, params["bn1"], s["bn1"], update_stats)
+    x = jnp.maximum(x, 0)
+    for i, stride in enumerate([1, 2, 2]):
+        x, s[f"layer{i + 1}"] = _basic_block(
+            x, params[f"layer{i + 1}"], s[f"layer{i + 1}"], stride, update_stats
+        )
+    x = _conv(x, params["head0"], 2)
+    x, s["head0_bn"] = _bn_train(x, params["head0_bn"], s["head0_bn"], update_stats)
+    x = jnp.maximum(x, 0)
+    x = _conv(x, params["head1"], 2)
+    x, s["head1_bn"] = _bn_train(x, params["head1_bn"], s["head1_bn"], update_stats)
+    x = jnp.maximum(x, 0)
+    logits = _conv(x, params["head2"], 2)
+    return logits, s
+
+
+def assemble_policy_input(
+    frame: jax.Array,
+    frame_state: jax.Array,
+    output_repr: jax.Array,
+    prev_grid: jax.Array,
+    block_size: int,
+) -> jax.Array:
+    """Build the policy net input at 1/4 * (128/block_size) scale
+    (reference ``policy/net.py:78-113``): nearest-resized frame ++ frame_state
+    ++ (output_repr - 0.5) ++ (prev_grid - 0.5)."""
+    n, h, w, _ = frame.shape
+    scale = 0.25 * 128 / block_size
+    oh, ow = int(h * scale), int(w * scale)
+    feats = [
+        resize_nearest(frame.astype(jnp.float32), (oh, ow)),
+        resize_nearest(frame_state.astype(jnp.float32), (oh, ow)),
+        resize_nearest(output_repr.astype(jnp.float32), (oh, ow)) - 0.5,
+        resize_nearest(
+            prev_grid.astype(jnp.float32)[..., None], (oh, ow)
+        ) - 0.5,
+    ]
+    return jax.lax.stop_gradient(jnp.concatenate(feats, axis=-1))
+
+
+def policy_in_channels(num_classes: int) -> int:
+    return 3 + 3 + num_classes + 1
