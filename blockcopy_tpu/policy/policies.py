@@ -149,7 +149,8 @@ class Policy:
     def forward(self, policy_meta: dict) -> dict:
         raise NotImplementedError
 
-    __call__ = forward
+    def __call__(self, policy_meta: dict) -> dict:
+        return self.forward(policy_meta)
 
     def optim(self, policy_meta: dict, train: bool = True) -> dict:
         return policy_meta
