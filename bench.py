@@ -1,0 +1,97 @@
+"""Headline benchmark: SwiftNet-RN50 + BlockCopy effective FPS on one chip.
+
+Reference numbers (BASELINE.md): SwiftNet-RN50 + BlockCopy ≈ 17 FPS on a
+GTX 1080 Ti (fp16, target 0.5, 1024x2048 Cityscapes frames, speed config).
+This benchmark runs the same workload shape — 1024x2048 frames, block 128,
+50% execution capacity, online policy active every frame, REINFORCE update
+every 4th frame — on the TPU in bfloat16 using the fixed-capacity stepper
+(the analogue of the reference's --fast speed configs) and reports
+steady-state FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 17.0  # semantic_segmentation/README.md:40 (GTX 1080 Ti fp16)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--backbone", type=str, default="resnet50")
+    ap.add_argument("--target", type=float, default=0.5)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+    from blockcopy_tpu.models.swiftnet import (
+        SwiftNetConfig, init_swiftnet, make_apply_fn,
+    )
+
+    dtype = jnp.dtype(args.dtype)
+    frame_shape = (1, args.height, args.width, 3)
+    gh, gw = args.height // 128, args.width // 128
+    total = gh * gw
+    capacity = max(1, int(round(args.target * total)))
+
+    cfg = SwiftNetConfig(backbone=args.backbone, num_classes=19)
+    params = init_swiftnet(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    scfg = StepperConfig(block_size=128, block_target=args.target,
+                         train_interval=4)
+    stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
+                                   capacity=capacity, dtype=dtype)
+
+    state = stepper.init_state(params, jax.random.PRNGKey(1))
+    first = jax.jit(stepper.first_step, donate_argnums=(1,))
+    step = jax.jit(stepper.step, donate_argnums=(1,))
+
+    rs = np.random.RandomState(0)
+    base = rs.randn(*frame_shape).astype(np.float32)
+
+    def frame(t):
+        f = base.copy()
+        s = (t * 37) % (args.height - 200)
+        f[:, s : s + 160, s : s + 160] += 2.0
+        return jnp.asarray(f, dtype)
+
+    # warmup: compile + let the policy settle
+    state = first(params, state, frame(0))
+    for t in range(1, args.warmup + 1):
+        state = step(params, state, frame(t))
+    jax.block_until_ready(state)
+
+    # pre-stage frames on device: we measure model throughput, not host IO
+    # (the reference's --single-clip-loop serves the same purpose,
+    # test_swiftnet.py:46)
+    n_unique = 8
+    staged = [jax.device_put(frame(args.warmup + 1 + i))
+              for i in range(n_unique)]
+    jax.block_until_ready(staged)
+
+    t0 = time.perf_counter()
+    for t in range(args.frames):
+        state = step(params, state, staged[t % n_unique])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    fps = args.frames / dt
+    print(json.dumps({
+        "metric": "swiftnet_rn50_blockcopy_fps_1024x2048",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -215,10 +215,27 @@ class ExecCtx:
     canvases: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
     # When True, canvases are created on the fly (shape-inference pass).
     building: bool = False
+    # Trace-time multiply-accumulate counter (shared mutable cell so dense
+    # sub-contexts attribute to the same tally).  Replaces the reference's
+    # hook-based flops counters (ptflops / Pedestron tools/flopscounter.py):
+    # shapes are static under jit, so the count is exact and free.
+    macs: list = dataclasses.field(default_factory=lambda: [0.0])
 
     @classmethod
     def dense(cls) -> "ExecCtx":
         return cls(mode="dense")
+
+    def as_dense(self) -> "ExecCtx":
+        """A dense view sharing this ctx's canvases and MAC tally (used by
+        ``noblocks`` interiors such as SPP)."""
+        return dataclasses.replace(self, mode="dense")
+
+    def add_macs(self, count: float) -> None:
+        self.macs[0] += float(count)
+
+    @property
+    def total_macs(self) -> float:
+        return self.macs[0]
 
     @classmethod
     def blocked(cls, idx, n, gh, gw, canvases, building=False) -> "ExecCtx":

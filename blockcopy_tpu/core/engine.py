@@ -36,6 +36,7 @@ from blockcopy_tpu.core.blocked import (
     split_dense,
 )
 from blockcopy_tpu.policy.policies import build_policy_from_settings
+from blockcopy_tpu.utils.flops import FlopsTracker, policy_net_macs
 from blockcopy_tpu.utils.profiler import timings
 
 FRAME_STATE = "__frame_state__"
@@ -44,16 +45,17 @@ OUT = "__out__"
 
 def noblocks(ctx: ExecCtx, name: str, x, fn: Callable):
     """Run ``fn`` densely in the middle of a blocked model: combine the
-    blocks through a persistent canvas, apply ``fn``, gather the executed
-    blocks of the result.
+    blocks through a persistent canvas, apply ``fn(dense_ctx, dense_x)``,
+    gather the executed blocks of the result.
 
     Equivalent of the reference's ``@blockcopy_noblocks`` decorator
     (``core/blockcopy.py:92-122``), used e.g. around SwiftNet's SPP.
+    The dense sub-context shares the parent's MAC tally.
     """
     if not isinstance(x, BlockPack) or ctx.is_dense:
-        return fn(x)
+        return fn(ctx.as_dense() if isinstance(ctx, ExecCtx) else ctx, x)
     dense = ctx.store_dense(name, x)
-    y = fn(dense)
+    y = fn(ctx.as_dense(), dense)
     return split_dense(y, ctx.idx, ctx.n, ctx.gh, ctx.gw)
 
 
@@ -86,6 +88,7 @@ class BlockCopyModel:
         self._geom = None  # (n, gh, gw)
         self.temporal = None
         self._steps: Dict[int, Callable] = {}
+        self.flops = FlopsTracker()
         self.reset_temporal()
 
     # -- temporal state -----------------------------------------------------
@@ -122,6 +125,12 @@ class BlockCopyModel:
                 lambda s: jnp.zeros(s.shape, s.dtype), shapes
             )
         }
+        if self.policy.is_trainable():
+            scale = 0.25 * 128 / self.block_size
+            self.flops.policy_macs = policy_net_macs(
+                int(h * scale), int(w * scale),
+                self.settings.get("block_num_classes", 19),
+            )
 
     # -- compiled steps -----------------------------------------------------
 
@@ -139,6 +148,8 @@ class BlockCopyModel:
             frame_state = ctx.store_dense(FRAME_STATE, pack)
             out = self.apply_fn(params, pack, ctx)
             outputs = ctx.store_dense(OUT, out)
+            # trace-time: exact MACs of this capacity's program
+            self.flops.record_trace(capacity, ctx.total_macs)
             return {"canvases": ctx.canvases}, outputs, frame_state
 
         self._steps[capacity] = model_step
@@ -167,6 +178,7 @@ class BlockCopyModel:
             count = meta["num_exec"]
             if count == 0:
                 out = meta["outputs"]
+                capacity = 0
             else:
                 total = meta["num_total"]
                 capacity = gridlib.capacity_for_count(count, total,
@@ -176,6 +188,9 @@ class BlockCopyModel:
                     self.params, self.temporal, inputs, meta["grid"]
                 )
                 meta["frame_state"] = frame_state
+            self.flops.record_frame(
+                capacity, policy_ran=meta.get("_rl_cache") is not None
+            )
 
             meta["outputs_prev"] = meta["outputs"]
             meta["outputs"] = out

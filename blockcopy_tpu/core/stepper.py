@@ -1,0 +1,271 @@
+"""Fused per-frame step: policy forward + blocked model + REINFORCE update as
+ONE jitted program with a fixed block capacity.
+
+Two execution modes exist (SURVEY.md §7 "fixed-capacity block buffers"):
+
+* **Ladder mode** (``core/engine.BlockCopyModel``): the executed-block count
+  picks a compiled capacity per frame — faithful to the reference's variable
+  batch dimension + shape quantization (``policy/policy.py:124-144``), one
+  scalar host sync per frame.
+* **Fixed-capacity mode** (this module): the sampled grid is rounded to
+  *exactly* ``capacity`` executed blocks, so every frame runs the same
+  compiled program with **zero host syncs** — the TPU-native analogue of the
+  reference's ``--fast`` speed configs, and the form that shards over a
+  device mesh (each device steps one clip; policy gradients are psum'd).
+
+The carried state is an explicit pytree (the functional replacement for the
+reference's ``BlockCopyModel`` attributes + ``policy_meta`` dict +
+``BlockFeatures`` FIFOs).  Donate it to the step for in-place HBM updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from blockcopy_tpu.core import grid as gridlib
+from blockcopy_tpu.core.blocked import (
+    ExecCtx,
+    block_layout_to_dense,
+    split_dense,
+)
+from blockcopy_tpu.ops.layers import adaptive_max_pool2d
+from blockcopy_tpu.policy import optim as rmsprop
+from blockcopy_tpu.policy.information_gain import semseg_information_gain
+from blockcopy_tpu.policy.net import (
+    assemble_policy_input,
+    init_policy_net,
+    policy_in_channels,
+    policy_net_apply,
+)
+
+FRAME_STATE = "__frame_state__"
+OUT = "__out__"
+
+
+@dataclasses.dataclass(frozen=True)
+class StepperConfig:
+    block_size: int = 128
+    block_target: float = 0.5
+    complexity_weight: float = 5.0
+    cost_momentum: float = 0.9
+    train_interval: int = 4
+    lr: float = 1e-4
+    weight_decay: float = 1e-3
+    momentum: float = 0.0
+    num_classes: int = 19
+
+    @classmethod
+    def from_settings(cls, s: dict) -> "StepperConfig":
+        return cls(
+            block_size=s["block_size"],
+            block_target=s["block_target"],
+            complexity_weight=s["block_complexity_weight"],
+            cost_momentum=s["block_cost_momentum"],
+            train_interval=s["block_train_interval"],
+            lr=s["block_optim_lr"],
+            weight_decay=s["block_optim_wd"],
+            momentum=s["block_optim_momentum"],
+            num_classes=s["block_num_classes"],
+        )
+
+
+class FixedCapacityStepper:
+    """Builds the jit-able ``first_step`` / ``step`` functions.
+
+    ``apply_fn(params, x, ctx)`` is the blocked model; geometry is fixed at
+    construction so the whole step is a static program.
+    """
+
+    def __init__(self, apply_fn: Callable, cfg: StepperConfig,
+                 frame_shape, capacity: int, dtype=jnp.float32):
+        self.apply_fn = apply_fn
+        self.cfg = cfg
+        n, h, w, _ = frame_shape
+        self.frame_shape = tuple(frame_shape)
+        gh, gw = gridlib.grid_shape(h, w, cfg.block_size)
+        self.geom = (n, gh, gw)
+        self.total = n * gh * gw
+        self.capacity = min(capacity, self.total)
+        self.dtype = dtype
+
+    # -- state --------------------------------------------------------------
+
+    def init_policy_state(self, key) -> Dict:
+        params, bn_state = init_policy_net(
+            key, policy_in_channels(self.cfg.num_classes)
+        )
+        return {
+            "params": params,
+            "bn_state": bn_state,
+            "opt": rmsprop.init(params),
+            "running_cost": jnp.float32(-1.0),  # <0 == uninitialized
+            "key": key,
+        }
+
+    def init_state(self, model_params, key) -> Dict:
+        """Full carried state with zeroed canvases (shapes via eval_shape)."""
+        n, gh, gw = self.geom
+
+        def build(frame):
+            idx = jnp.arange(self.total, dtype=jnp.int32)
+            ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+            pack = split_dense(frame, idx, n, gh, gw)
+            ctx.store_dense(FRAME_STATE, pack)
+            out = self.apply_fn(model_params, pack, ctx)
+            dense_out = ctx.store_dense(OUT, out)
+            return ctx.canvases, dense_out
+
+        canvas_shapes, out_shape = jax.eval_shape(
+            build, jax.ShapeDtypeStruct(self.frame_shape, self.dtype)
+        )
+        zeros = lambda s: jnp.zeros(s.shape, s.dtype)
+        return {
+            "canvases": jax.tree.map(zeros, canvas_shapes),
+            "outputs": zeros(out_shape),
+            "outputs_prev": zeros(out_shape),
+            "prev_grid": jnp.zeros((n, gh, gw), jnp.float32),
+            "frame_idx": jnp.int32(0),
+            "policy": self.init_policy_state(key),
+        }
+
+    def reset_temporal(self, state: Dict) -> Dict:
+        """New clip: reset the frame counter (canvases are fully overwritten
+        by the all-exec first frame; policy state persists across clips like
+        the reference's policy module attributes)."""
+        return {**state, "frame_idx": jnp.int32(0)}
+
+    # -- internals ----------------------------------------------------------
+
+    def _run_model(self, params, state, frame, idx):
+        n, gh, gw = self.geom
+        pack = split_dense(frame, idx, n, gh, gw)
+        ctx = ExecCtx.blocked(idx, n, gh, gw, dict(state["canvases"]))
+        frame_state = ctx.store_dense(FRAME_STATE, pack)
+        out = self.apply_fn(params, pack, ctx)
+        outputs = ctx.store_dense(OUT, out)
+        return ctx.canvases, outputs, frame_state
+
+    def _sample_grid(self, key, probs):
+        """Bernoulli sample then round to exactly ``capacity`` blocks: keep
+        sampled blocks (ranked by prob-break random), fill with the highest-
+        scoring unsampled ones.  The REINFORCE log-prob is taken of the final
+        grid — same semantics as the reference's quantize-then-log_prob
+        (``policy/policy.py:286-296``)."""
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, probs.shape)
+        sampled = (u < probs).astype(jnp.float32)
+        flat = sampled.reshape(-1)
+        scores = jax.random.uniform(k2, flat.shape) + 2.0 * flat
+        order = jnp.argsort(-scores)
+        rank = jnp.zeros_like(flat, jnp.int32).at[order].set(
+            jnp.arange(flat.shape[0], dtype=jnp.int32)
+        )
+        grid = (rank < self.capacity).reshape(probs.shape)
+        return grid
+
+    def _policy_optim(self, state, grid_f, cache_x, psum_axis: Optional[str]):
+        cfg = self.cfg
+        pol = state["policy"]
+        perc = grid_f.mean()
+        rc = pol["running_cost"]
+        rc = jnp.where(rc < 0, perc, rc)
+        rc = rc * cfg.cost_momentum + (1 - cfg.cost_momentum) * perc
+        reward_c = -(rc - cfg.block_target)
+        reward_c = reward_c * jnp.abs(reward_c) * cfg.complexity_weight
+
+        def do_train(operand):
+            params, opt = operand
+            ig = semseg_information_gain(state["outputs"],
+                                         state["outputs_prev"])
+            reward = ig + reward_c
+            gh, gw = grid_f.shape[1], grid_f.shape[2]
+            reward_grid = adaptive_max_pool2d(reward, (gh, gw))[..., 0]
+            signed = jnp.where(grid_f > 0, reward_grid, -reward_grid)
+            signed = jax.lax.stop_gradient(signed)
+
+            def loss_fn(p):
+                logits, _ = policy_net_apply(p, pol["bn_state"], cache_x,
+                                             update_stats=False)
+                l = logits[..., 0]
+                logp = grid_f * jax.nn.log_sigmoid(l) \
+                    + (1 - grid_f) * jax.nn.log_sigmoid(-l)
+                return jnp.mean(-logp * signed)
+
+            grads = jax.grad(loss_fn)(params)
+            if psum_axis is not None:
+                grads = jax.lax.pmean(grads, psum_axis)
+            return rmsprop.update(grads, opt, params, lr=cfg.lr,
+                                  weight_decay=cfg.weight_decay,
+                                  momentum=cfg.momentum)
+
+        train = (state["frame_idx"] % cfg.train_interval == 0) \
+            & (state["frame_idx"] >= 2)
+        params, opt = jax.lax.cond(
+            train, do_train, lambda o: o, (pol["params"], pol["opt"])
+        )
+        return {**pol, "params": params, "opt": opt, "running_cost": rc}
+
+    # -- steps --------------------------------------------------------------
+
+    def first_step(self, model_params, state, frame):
+        """Frame 1 of a clip: execute everything (capacity == total)."""
+        n, gh, gw = self.geom
+        idx = jnp.arange(self.total, dtype=jnp.int32)
+        canvases, outputs, frame_state = self._run_model(
+            model_params, state, frame, idx
+        )
+        pol = dict(state["policy"])
+        rc = pol["running_cost"]
+        rc = jnp.where(rc < 0, 1.0, rc)
+        pol["running_cost"] = rc * self.cfg.cost_momentum \
+            + (1 - self.cfg.cost_momentum) * 1.0
+        return {
+            **state,
+            "canvases": canvases,
+            "outputs": outputs,
+            "outputs_prev": outputs,
+            "prev_grid": jnp.ones((n, gh, gw), jnp.float32),
+            "frame_idx": jnp.int32(1),
+            "policy": pol,
+        }
+
+    def step(self, model_params, state, frame, psum_axis: Optional[str] = None):
+        """Steady-state frame: sample grid, run ``capacity`` blocks, update
+        the policy.  Pure function of (params, state, frame)."""
+        n, gh, gw = self.geom
+        pol = state["policy"]
+        key, k_use = jax.random.split(pol["key"])
+
+        frame_state_prev = state["canvases"][FRAME_STATE]
+        fs_dense = block_layout_to_dense(frame_state_prev, n, gh, gw)
+        cache_x = assemble_policy_input(
+            frame, fs_dense, state["outputs"], state["prev_grid"],
+            self.cfg.block_size,
+        )
+        logits, bn_state = policy_net_apply(pol["params"], pol["bn_state"],
+                                            cache_x, update_stats=True)
+        probs = jax.nn.sigmoid(logits[..., 0])
+        grid = self._sample_grid(k_use, probs)
+        grid_f = grid.astype(jnp.float32)
+        idx = gridlib.exec_indices(grid, self.capacity)
+
+        canvases, outputs, frame_state = self._run_model(
+            model_params, state, frame, idx
+        )
+
+        mid = {
+            **state,
+            "canvases": canvases,
+            "outputs": outputs,
+            "outputs_prev": state["outputs"],
+            "prev_grid": grid_f,
+            "frame_idx": state["frame_idx"] + 1,
+            "policy": {**pol, "bn_state": bn_state, "key": key},
+        }
+        new_policy = self._policy_optim(mid, grid_f, cache_x, psum_axis)
+        return {**mid, "policy": new_policy}

@@ -253,9 +253,9 @@ def resnet_forward_down(params, x, ctx: ExecCtx, cfg: ResNetConfig):
     return feats
 
 
-def spp_forward_dense(params, x, cfg: SwiftNetConfig):
+def spp_forward_dense(params, x, cfg: SwiftNetConfig, dense_ctx=None):
     """Dense SPP (reference ``util.py:85-138``); called through ``noblocks``."""
-    dense_ctx = ExecCtx.dense()
+    dense_ctx = dense_ctx if dense_ctx is not None else ExecCtx.dense()
     h, w = x.shape[1], x.shape[2]
     ar = w / h
     x = _bnrc(dense_ctx, "spp.bn", x, params["bn"])
@@ -282,7 +282,8 @@ def swiftnet_apply(params, x, ctx: ExecCtx, cfg: SwiftNetConfig):
     """Full forward: logits at output stride 4."""
     feats = resnet_forward_down(params["backbone"], x, ctx, cfg.resnet)
     out = noblocks(ctx, "spp", feats[3],
-                   lambda d: spp_forward_dense(params["spp"], d, cfg))
+                   lambda dctx, d: spp_forward_dense(params["spp"], d, cfg,
+                                                     dctx))
     for i, skip in enumerate([feats[2], feats[1], feats[0]]):
         out = _upsample_stage(ctx, f"up{i}", out, skip, params["ups"][i])
     return _bnrc(ctx, "logits", out, params["logits"])

@@ -33,6 +33,7 @@ from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from blockcopy_tpu.core.blocked import BlockPack, ExecCtx
@@ -104,13 +105,19 @@ def conv2d(
             out = out + b.astype(out.dtype)
         return out
 
+    cin = w.shape[2]
     if isinstance(x, BlockPack) and not ctx.is_dense:
         if p > 0:
             data = ctx.exchange(name, x, p)
-            return x.with_data(run(data, "VALID"))
-        return x.with_data(run(x.data, "VALID"))
+            out = x.with_data(run(data, "VALID"))
+        else:
+            out = x.with_data(run(x.data, "VALID"))
+        ctx.add_macs(float(np.prod(out.data.shape)) * cin * kh * kw)
+        return out
     data = _data(x)
-    return _rewrap(x, run(data, [(p, p), (p, p)]))
+    out = _rewrap(x, run(data, [(p, p), (p, p)]))
+    ctx.add_macs(float(np.prod(_data(out).shape)) * cin * kh * kw)
+    return out
 
 
 def conv_transpose2d(
@@ -149,7 +156,11 @@ def conv_transpose2d(
             out = out + b.astype(out.dtype)
         return out
 
-    return _rewrap(x, run(_data(x)))
+    out = _rewrap(x, run(_data(x)))
+    kh, kw, cin = w.shape[0], w.shape[1], w.shape[2]
+    ctx.add_macs(float(np.prod(_data(out).shape)) * cin * kh * kw
+                 / (stride * stride))
+    return out
 
 
 def batch_norm(x: Arrayish, scale: jax.Array, bias: jax.Array) -> Arrayish:

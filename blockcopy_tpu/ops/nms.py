@@ -1,0 +1,138 @@
+"""Fixed-size NMS in pure JAX.
+
+TPU-native replacement for the reference's CUDA NMS extension
+(``Pedestron/mmdet/ops/nms/src/nms_kernel.cu``, used every frame by the CSP
+bbox decode via ``multiclass_nms``, ``mmdet/core/post_processing/
+bbox_nms.py:6-62``) and the Cython ``soft_nms_cpu``.  Static shapes: inputs
+are score-sorted, padded arrays; outputs are a fixed-size keep mask — no
+dynamic shapes ever reach XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def box_iou_matrix(boxes: jax.Array) -> jax.Array:
+    """(N, 4) xyxy -> (N, N) pairwise IoU (torch-style: +1 extents, matching
+    the reference CUDA kernel's devIoU)."""
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x2 - x1 + 1, 0) * jnp.maximum(y2 - y1 + 1, 0)
+    lx = jnp.maximum(x1[:, None], x1[None, :])
+    ly = jnp.maximum(y1[:, None], y1[None, :])
+    rx = jnp.minimum(x2[:, None], x2[None, :])
+    ry = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(rx - lx + 1, 0) * jnp.maximum(ry - ly + 1, 0)
+    return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-10)
+
+
+def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
+             valid: jax.Array = None) -> jax.Array:
+    """Greedy NMS over score-sorted candidates.
+
+    Args:
+        boxes: (N, 4) sorted by descending score.
+        scores: (N,) descending.
+        valid: (N,) bool; padding rows must be False.
+    Returns:
+        keep: (N,) bool mask.
+    """
+    n = boxes.shape[0]
+    iou = box_iou_matrix(boxes)
+    valid = jnp.ones((n,), bool) if valid is None else valid
+
+    def body(i, state):
+        keep, suppressed = state
+        k = valid[i] & ~suppressed[i]
+        keep = keep.at[i].set(k)
+        row = (iou[i] > iou_thr) & k
+        suppressed = suppressed | row.at[i].set(False)
+        return keep, suppressed
+
+    keep, _ = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    )
+    return keep
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def multiclass_nms_fixed(
+    bboxes: jax.Array,     # (N, 4)
+    scores: jax.Array,     # (N, C) — foreground classes only
+    score_thr: float,
+    iou_thr: float,
+    max_per_img: int,
+):
+    """Per-class NMS with a fixed-size output (reference ``multiclass_nms``
+    semantics, ``bbox_nms.py:6-62``, for shared boxes across classes).
+
+    Returns (dets (max_per_img, 5), labels (max_per_img,), valid mask).
+    """
+    n, num_classes = scores.shape
+    all_dets = []
+    all_labels = []
+    all_keep = []
+    for c in range(num_classes):
+        s = scores[:, c]
+        v = s > score_thr
+        order = jnp.argsort(-jnp.where(v, s, -jnp.inf))
+        b_sorted = bboxes[order]
+        s_sorted = s[order]
+        v_sorted = v[order]
+        keep = nms_mask(b_sorted, s_sorted, iou_thr, v_sorted)
+        all_dets.append(jnp.concatenate([b_sorted, s_sorted[:, None]], -1))
+        all_labels.append(jnp.full((n,), c, jnp.int32))
+        all_keep.append(keep)
+    dets = jnp.concatenate(all_dets)
+    labels = jnp.concatenate(all_labels)
+    keep = jnp.concatenate(all_keep)
+    if dets.shape[0] < max_per_img:  # static pad to the fixed output size
+        pad = max_per_img - dets.shape[0]
+        dets = jnp.concatenate([dets, jnp.zeros((pad, 5), dets.dtype)])
+        labels = jnp.concatenate([labels, jnp.zeros((pad,), labels.dtype)])
+        keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)])
+    # top max_per_img by score among kept
+    score_masked = jnp.where(keep, dets[:, 4], -jnp.inf)
+    top = jnp.argsort(-score_masked)[:max_per_img]
+    return dets[top], labels[top], keep[top]
+
+
+def soft_nms_numpy(dets, iou_thr=0.3, method="linear", sigma=0.5,
+                   min_score=1e-3):
+    """Soft-NMS on the host (reference ``soft_nms_cpu.pyx`` capability;
+    see also the native C++ implementation in ``blockcopy_tpu/native``).
+
+    dets: (N, 5) numpy [x1, y1, x2, y2, score]; returns kept dets and their
+    original indices.
+    """
+    import numpy as np
+
+    dets = dets.copy().astype(np.float64)
+    n = dets.shape[0]
+    inds = np.arange(n)
+    for i in range(n):
+        max_pos = i + dets[i:, 4].argmax()
+        dets[[i, max_pos]] = dets[[max_pos, i]]
+        inds[[i, max_pos]] = inds[[max_pos, i]]
+        x1, y1, x2, y2 = dets[i, :4]
+        area_i = max(x2 - x1 + 1, 0) * max(y2 - y1 + 1, 0)
+        for j in range(i + 1, n):
+            xx1 = max(x1, dets[j, 0]); yy1 = max(y1, dets[j, 1])
+            xx2 = min(x2, dets[j, 2]); yy2 = min(y2, dets[j, 3])
+            w = max(xx2 - xx1 + 1, 0); h = max(yy2 - yy1 + 1, 0)
+            inter = w * h
+            area_j = max(dets[j, 2] - dets[j, 0] + 1, 0) * \
+                max(dets[j, 3] - dets[j, 1] + 1, 0)
+            ov = inter / max(area_i + area_j - inter, 1e-10)
+            if method == "linear":
+                weight = 1 - ov if ov > iou_thr else 1.0
+            elif method == "gaussian":
+                weight = np.exp(-(ov * ov) / sigma)
+            else:  # naive nms
+                weight = 0.0 if ov > iou_thr else 1.0
+            dets[j, 4] *= weight
+    keep = dets[:, 4] > min_score
+    return dets[keep].astype(np.float32), inds[keep]

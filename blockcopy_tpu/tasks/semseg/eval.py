@@ -1,0 +1,291 @@
+"""SwiftNet + BlockCopy evaluation CLI.
+
+Mirrors the reference driver ``semantic_segmentation/test_swiftnet.py`` flag
+for flag: dataset setup (Cityscapes-seq clips / demo folder / synthetic),
+model build + checkpoint load, BlockCopy wrap (unless ``--block-policy
+static``), two-phase warmup->eval loop with per-clip temporal reset,
+streaming mIoU, FPS, analytic GMACs, and visualization dumps.
+
+Run:  python -m blockcopy_tpu.tasks.semseg.eval --synthetic --num-clips-warmup 2 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import blockcopy_tpu
+from blockcopy_tpu.core.argparser import add_argparser_arguments
+from blockcopy_tpu.data import transforms as et
+from blockcopy_tpu.data.cityscapes_vid import CityscapesVid
+from blockcopy_tpu.data.demo import DemoImageDataset
+from blockcopy_tpu.data.loader import PrefetchLoader
+from blockcopy_tpu.models.swiftnet import (
+    SwiftNetConfig,
+    init_swiftnet,
+    make_apply_fn,
+    swiftnet_apply,
+)
+from blockcopy_tpu.core.blocked import ExecCtx
+from blockcopy_tpu.ops.layers import resize_bilinear
+from blockcopy_tpu.utils.checkpoint import load_params
+from blockcopy_tpu.utils.metrics import StreamSegMetrics
+from blockcopy_tpu.utils.profiler import timings
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("blockcopy_tpu.semseg")
+
+
+class SyntheticClipDataset:
+    """Deterministic synthetic video clips (moving bright square over a fixed
+    background) with self-consistent labels, for data-free runs."""
+
+    def __init__(self, num_clips, clip_length, height, width, num_classes=19,
+                 seed=0):
+        self.num_clips = num_clips
+        self.clip_length = clip_length
+        self.h, self.w = height, width
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_clips
+
+    def __getitem__(self, index):
+        rs = np.random.RandomState(self.seed + index)
+        base = rs.randn(self.h, self.w, 3).astype(np.float32)
+        clip = []
+        for t in range(self.clip_length):
+            f = base.copy()
+            s = (47 * (index + t)) % max(self.h - 200, 1)
+            f[s : s + 160, s : s + 160] += 2.0
+            clip.append(f)
+        label = (np.abs(base[..., 0]) * 7).astype(np.int64) % self.num_classes
+        return clip, label, {"relpath": f"synthetic/{index}.png"}
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser(description="BlockCopy-TPU Segmentation")
+    parser.add_argument("--demo-dir", type=str, default="")
+    parser.add_argument("--cityscapes-dir", type=str, default="")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="run on generated clips (no dataset needed)")
+    parser.add_argument("--mode", type=str, default="val",
+                        choices=["val", "test"])
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--res", type=int, default=1024,
+                        help="smallest image side in pixels")
+    parser.add_argument("--clip-length", type=int, default=20)
+    parser.add_argument("--workers", type=int, default=6)
+    parser.add_argument("--num-clips-warmup", type=int, default=500)
+    parser.add_argument("--num-clips-eval", type=int, default=-1)
+    parser.add_argument("--model-backbone", default="resnet18", type=str)
+    parser.add_argument("--model-checkpoint",
+                        default="pretrained/swiftnet_rn18.pth", type=str)
+    parser.add_argument("--half", action="store_true",
+                        help="bfloat16 model (policy stays float32)")
+    parser.add_argument("--output-dir", default="", type=str)
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--single-clip-loop", action="store_true")
+    parser.add_argument("--timings", type=int, default=0)
+    add_argparser_arguments(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logger.info("Arguments: %s", args)
+    num_classes = args.block_num_classes
+    timings.set_level(args.timings)
+
+    val_transform = et.ExtCompose([
+        et.ExtResize((args.res, args.res * 2)),
+        et.ExtToArray(),
+        et.ExtNormalize(mean=CityscapesVid.mean, std=CityscapesVid.std),
+    ])
+
+    if args.synthetic:
+        has_labels = True
+        n_warm = max(args.num_clips_warmup, 0) or 4
+        n_eval = args.num_clips_eval if args.num_clips_eval > 0 else 4
+        dataset_warmup = SyntheticClipDataset(n_warm, args.clip_length,
+                                              args.res, args.res * 2,
+                                              num_classes)
+        dataset_eval = SyntheticClipDataset(n_eval, args.clip_length,
+                                            args.res, args.res * 2,
+                                            num_classes, seed=10_000)
+    elif args.demo_dir:
+        has_labels = False
+        dataset_warmup = DemoImageDataset(args.demo_dir, val_transform)
+        dataset_eval = DemoImageDataset(args.demo_dir, val_transform)
+    elif args.cityscapes_dir:
+        has_labels = not args.fast and args.mode != "test"
+        dataset_warmup = CityscapesVid(args.cityscapes_dir, split="train",
+                                       transform=val_transform,
+                                       clip_length=args.clip_length,
+                                       has_labels=has_labels)
+        dataset_eval = CityscapesVid(args.cityscapes_dir, split=args.mode,
+                                     transform=val_transform,
+                                     clip_length=args.clip_length,
+                                     has_labels=has_labels)
+    else:
+        raise AttributeError("need --synthetic, --demo-dir or --cityscapes-dir")
+
+    # Model
+    dtype = jnp.bfloat16 if args.half else jnp.float32
+    cfg = SwiftNetConfig(backbone=args.model_backbone,
+                         num_classes=num_classes)
+    if args.model_checkpoint and os.path.isfile(args.model_checkpoint):
+        logger.info("=> loading model checkpoint '%s'", args.model_checkpoint)
+        params = load_params(args.model_checkpoint, cfg, dtype=dtype)
+    else:
+        logger.warning("checkpoint '%s' not found: using random init",
+                       args.model_checkpoint)
+        params = init_swiftnet(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    apply_fn = make_apply_fn(cfg)
+    static = args.block_policy == "static"
+    model = None
+    if not static:
+        model = blockcopy_tpu.BlockCopyModel(apply_fn, params, vars(args))
+    dense_fwd = jax.jit(lambda p, x: swiftnet_apply(p, x, ExecCtx.dense(), cfg))
+
+    output_dir = None
+    if args.output_dir:
+        assert not args.fast, "Cannot combine fast option with output_dir"
+        output_dir = os.path.join("output_demo", args.output_dir)
+        os.makedirs(output_dir, exist_ok=True)
+
+    upsample = jax.jit(
+        lambda o, hw: jnp.argmax(
+            resize_bilinear(o.astype(jnp.float32), hw), axis=-1
+        ),
+        static_argnums=(1,),
+    )
+
+    def process_clip(clip, meta, phase):
+        if model is not None:
+            model.reset_temporal()
+        preds = None
+        for frame_id, frame in enumerate(clip):
+            arr = np.asarray(frame, np.float32)[None]  # (1, H, W, 3)
+            inputs = jnp.asarray(arr, dtype)
+            timings.add_count(1)
+            with timings.env("process_clip/model", 2):
+                out = model(inputs) if model is not None \
+                    else dense_fwd(params, inputs)
+                if frame_id == len(clip) - 1 or output_dir:
+                    preds = upsample(out, inputs.shape[1:3])
+            if output_dir and phase != "warmup":
+                _dump_viz(args, output_dir, phase, meta, frame_id, arr,
+                          preds, model)
+        return preds
+
+    def process_dataset(dataset, phase, max_num_clips):
+        metrics = StreamSegMetrics(
+            num_classes, classes=CityscapesVid.fine_classes,
+            class_names=CityscapesVid.train_id_to_name,
+        )
+        timings.reset()
+        loader = PrefetchLoader(dataset, num_workers=args.workers,
+                                max_items=max_num_clips
+                                if max_num_clips >= 0 else -1)
+        logger.info("## phase %s: %d clips", phase, len(loader))
+        start = time.perf_counter()
+        num_images = 0
+        cached = None
+        for i, (clip, target, meta) in enumerate(iter(loader)):
+            if args.single_clip_loop:
+                if cached is None:
+                    cached = (clip, target, meta)
+                clip, target, meta = cached
+            num_images += len(clip)
+            with timings.env("process_dataset/process_clip", 1):
+                preds = process_clip(clip, meta, phase)
+            if has_labels and not args.fast and not isinstance(target, int):
+                metrics.update(np.asarray(target)[None], np.asarray(preds))
+        jax.block_until_ready(preds)
+        stop = time.perf_counter()
+
+        logger.info("Number of images: %d", num_images)
+        if phase == "eval":
+            fps = num_images / (stop - start)
+            results = {"fps": fps}
+            if has_labels and not args.fast:
+                metric_results = metrics.get_results()
+                logger.info("Mean IoU %.2f", metric_results["Mean IoU"] * 100)
+                results.update(
+                    {k: v for k, v in metric_results.items()
+                     if k != "Class IoU"}
+                )
+            logger.info("Average FPS: %.2f", fps)
+            if model is not None:
+                gmacs = model.flops.average_gmacs()
+                logger.info("Computational cost (avg per img): %.3f GMACs",
+                            gmacs)
+                results["gmacs_per_image"] = gmacs
+                logger.info("%s", model.policy.stats)
+                results["perc_exec"] = model.policy.stats.get_exec_percentage()
+            if args.timings:
+                logger.info("%s", timings)
+            return results
+        return None
+
+    process_dataset(dataset_warmup, "warmup", args.num_clips_warmup)
+    if model is not None:
+        model.flops.reset_frames()
+        model.policy.stats = type(model.policy.stats)()
+    results = process_dataset(dataset_eval, "eval", args.num_clips_eval)
+    print(json.dumps({k: (float(v) if isinstance(v, (int, float, np.floating))
+                          else v) for k, v in results.items()}))
+    return results
+
+
+def _dump_viz(args, output_dir, phase, meta, frame_id, arr, preds, model):
+    """Input / prediction / exec-grid overlays (reference
+    ``test_swiftnet.py:200-230``), written with PIL."""
+    from PIL import Image
+    from blockcopy_tpu.data.transforms import denormalize
+
+    phase_dir = osp.join(output_dir, phase)
+    os.makedirs(phase_dir, exist_ok=True)
+    relpath = meta["relpath"]
+    fname = ".".join(relpath.replace("/", "-").split(".")[:-1]) + f"_{frame_id}"
+
+    img = denormalize(arr[0], CityscapesVid.mean, CityscapesVid.std)
+    img = np.clip(img, 0, 1)
+    Image.fromarray((img * 255).astype(np.uint8)).resize((1024, 512)).save(
+        osp.join(phase_dir, f"{fname}_input.jpg")
+    )
+    pred_color = CityscapesVid.decode_target(np.asarray(preds)[0]).astype(
+        np.uint8
+    )
+    Image.fromarray(pred_color).resize((1024, 512), Image.NEAREST).save(
+        osp.join(phase_dir, f"{fname}_output.jpg")
+    )
+    if model is not None and "grid" in model.policy_meta:
+        grid = np.asarray(model.policy_meta["grid"])[0].astype(np.float32)
+        overlay = img.copy()
+        gh, gw = grid.shape
+        bh, bw = img.shape[0] // gh, img.shape[1] // gw
+        for gy in range(gh):
+            for gx in range(gw):
+                c = np.array([0.2, 0.8, 0.2]) if grid[gy, gx] else \
+                    np.array([0.5, 0.2, 0.7])
+                sl = np.s_[gy * bh:(gy + 1) * bh, gx * bw:(gx + 1) * bw]
+                overlay[sl] = 0.6 * overlay[sl] + 0.4 * c
+        Image.fromarray((np.clip(overlay, 0, 1) * 255).astype(np.uint8)) \
+            .resize((1024, 512)).save(osp.join(phase_dir, f"{fname}_grid.jpg"))
+
+
+if __name__ == "__main__":
+    main()

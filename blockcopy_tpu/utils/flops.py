@@ -1,0 +1,77 @@
+"""Analytic compute-cost accounting.
+
+The reference measures sparse GMACs with runtime hooks whose conv hook counts
+the packed batch dimension (``Pedestron/tools/flopscounter.py:341-377``,
+ptflops for semseg).  Under XLA all shapes are static, so the equivalent
+number falls out of the trace: ``ExecCtx`` tallies conv MACs while the step
+is traced, per compiled capacity, and the engine averages over the frames
+each capacity actually ran.  Capacity padding slots are counted as real work
+(they are — masked compute is executed compute; SURVEY.md §7 "make the FLOPs
+counter honest about masked waste").
+"""
+
+from __future__ import annotations
+
+
+def policy_net_macs(policy_h: int, policy_w: int, num_classes: int,
+                    width_factor: int = 2) -> float:
+    """MACs of one PolicyNet forward at policy input resolution
+    (= frame/4 * 128/block_size; see ``policy/net.py``).
+
+    Mirrors ``init_policy_net``/``policy_net_apply`` layer-for-layer.
+    """
+    h, w = policy_h, policy_w
+    cin = 3 + 3 + num_classes + 1
+    c1, c2, c3 = 16 * width_factor, 32 * width_factor, 64 * width_factor
+    m = 0.0
+    m += h * w * c1 * cin * 9                      # conv1 3x3
+    m += 2 * h * w * c1 * c1 * 9                   # layer1 basic block
+    h, w = h // 2, w // 2                          # layer2 (stride 2)
+    m += h * w * c2 * c1 * 9 + h * w * c2 * c2 * 9 + h * w * c2 * c1
+    h, w = h // 2, w // 2                          # layer3 (stride 2)
+    m += h * w * c3 * c2 * 9 + h * w * c3 * c3 * 9 + h * w * c3 * c2
+    planes = 128
+    h, w = h // 2, w // 2                          # head0 (stride 2)
+    m += h * w * planes * c3 * 9
+    h, w = h // 2, w // 2                          # head1
+    m += h * w * planes * planes * 9
+    h, w = h // 2, w // 2                          # head2 -> 1 logit
+    m += h * w * 1 * planes * 9
+    return m
+
+
+class FlopsTracker:
+    """Accumulates per-frame MACs for the ladder engine.
+
+    ``record_trace(capacity, macs)`` is called once per compiled capacity
+    (at trace time); ``record_frame(capacity)`` per executed frame
+    (``capacity 0`` == copy-only frame); the average includes the policy-net
+    cost for every frame where the policy net ran.
+    """
+
+    def __init__(self, policy_macs_per_frame: float = 0.0):
+        self.macs_per_capacity = {}
+        self.frames = []
+        self.policy_macs = policy_macs_per_frame
+        self.policy_frames = 0
+
+    def record_trace(self, capacity: int, macs: float):
+        self.macs_per_capacity[capacity] = macs
+
+    def record_frame(self, capacity: int, policy_ran: bool):
+        self.frames.append(capacity)
+        if policy_ran:
+            self.policy_frames += 1
+
+    def reset_frames(self):
+        self.frames = []
+        self.policy_frames = 0
+
+    def average_macs(self) -> float:
+        if not self.frames:
+            return 0.0
+        model = sum(self.macs_per_capacity.get(c, 0.0) for c in self.frames)
+        return (model + self.policy_macs * self.policy_frames) / len(self.frames)
+
+    def average_gmacs(self) -> float:
+        return self.average_macs() / 1e9

@@ -1,0 +1,180 @@
+"""CSP detector, NMS, and detection information-gain tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blockcopy_tpu.core.argparser import default_settings
+from blockcopy_tpu.models.csp import (
+    CSPBlockCopy,
+    CSPConfig,
+    csp_apply,
+    csp_decode,
+    dets_to_bbox_results,
+    init_csp,
+)
+from blockcopy_tpu.core.blocked import ExecCtx
+from blockcopy_tpu.ops.nms import box_iou_matrix, multiclass_nms_fixed, nms_mask
+
+H, W, BS = 256, 512, 128
+CFG = CSPConfig(nms_pre=200, max_per_img=20)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_csp(jax.random.PRNGKey(0), CFG)
+
+
+class TestNMS:
+    def test_iou_matrix(self):
+        boxes = jnp.array([[0, 0, 9, 9], [0, 0, 9, 9], [20, 20, 29, 29]],
+                          jnp.float32)
+        iou = np.asarray(box_iou_matrix(boxes))
+        assert iou[0, 1] == pytest.approx(1.0)
+        assert iou[0, 2] == 0.0
+
+    def test_greedy_suppression(self):
+        boxes = jnp.array(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+        )
+        scores = jnp.array([0.9, 0.8, 0.7])
+        keep = np.asarray(nms_mask(boxes, scores, iou_thr=0.5))
+        assert list(keep) == [True, False, True]
+
+    def test_padding_rows_never_kept(self):
+        boxes = jnp.zeros((4, 4), jnp.float32)
+        scores = jnp.array([0.9, 0.0, 0.0, 0.0])
+        valid = jnp.array([True, False, False, False])
+        keep = np.asarray(nms_mask(boxes, scores, 0.5, valid))
+        assert list(keep) == [True, False, False, False]
+
+    def test_multiclass_fixed_output(self):
+        boxes = jnp.array(
+            [[0, 0, 10, 10], [2, 2, 12, 12], [100, 100, 120, 130]],
+            jnp.float32,
+        )
+        scores = jnp.array([[0.9], [0.85], [0.6]])
+        dets, labels, valid = multiclass_nms_fixed(boxes, scores, 0.1, 0.5, 5)
+        assert dets.shape == (5, 5) and labels.shape == (5,)
+        v = np.asarray(valid)
+        assert v.sum() == 2  # box 1 suppressed by box 0
+        kept_scores = np.asarray(dets)[v, 4]
+        np.testing.assert_allclose(sorted(kept_scores, reverse=True),
+                                   [0.9, 0.6], rtol=1e-6)
+
+    def test_soft_nms(self):
+        from blockcopy_tpu.ops.nms import soft_nms_numpy
+        dets = np.array([[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],
+                         [50, 50, 60, 60, 0.7]], np.float32)
+        out, inds = soft_nms_numpy(dets, iou_thr=0.3, method="linear")
+        assert len(out) >= 2  # overlapping box decayed, not removed
+
+
+class TestCSPForward:
+    def test_dense_shapes(self, params):
+        x = jnp.asarray(np.random.RandomState(0).randn(1, H, W, 3),
+                        jnp.float32)
+        cls_s, bbox_p, off_p = csp_apply(params, x, ExecCtx.dense(), CFG)
+        assert cls_s.shape == (1, H // 4, W // 4, 1)
+        assert bbox_p.shape == (1, H // 4, W // 4, 1)
+        assert off_p.shape == (1, H // 4, W // 4, 2)
+
+    def test_blocked_all_close_to_dense(self, params):
+        from blockcopy_tpu.core import grid as gridlib
+        from blockcopy_tpu.core.blocked import split_dense
+
+        x = jnp.asarray(np.random.RandomState(1).randn(1, H, W, 3),
+                        jnp.float32)
+        dense_out = csp_apply(params, x, ExecCtx.dense(), CFG)
+        n, gh, gw = 1, H // BS, W // BS
+        total = n * gh * gw
+        idx = gridlib.exec_indices(jnp.ones((n, gh, gw), bool), total)
+        ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+        pack = split_dense(x, idx, n, gh, gw)
+        blocked_out = csp_apply(params, pack, ctx, CFG)
+        # The neck's k4s2p1 ConvTranspose runs per block (reference semantics
+        # too), leaving ~1px seams at /8-block borders that the head convs
+        # spread by ±1: interiors must match tightly, global fraction loosely.
+        obs = BS // 4  # block size at stride 4
+        m = 6          # seam margin in stride-4 pixels
+        # (GN statistics couple the seam error weakly into all pixels — also
+        # true of the reference, whose GN spans all combined blocks.)
+        for d, b in zip(dense_out, blocked_out):
+            d, b = np.asarray(d), np.asarray(b)
+            frac_close = np.mean(np.isclose(d, b, rtol=5e-2, atol=5e-2))
+            assert frac_close > 0.8, frac_close  # seams: 3 col + 1 row, ~4px wide after head convs
+            dd = d.reshape(1, d.shape[1] // obs, obs, d.shape[2] // obs, obs, -1)
+            bb = b.reshape(1, b.shape[1] // obs, obs, b.shape[2] // obs, obs, -1)
+            np.testing.assert_allclose(
+                dd[:, :, m:-m, :, m:-m], bb[:, :, m:-m, :, m:-m],
+                rtol=5e-2, atol=5e-2,
+            )
+
+    def test_decode_finds_planted_peak(self, params):
+        cls = jnp.full((1, 64, 128, 1), -8.0)
+        cls = cls.at[0, 32, 64, 0].set(6.0)  # strong center
+        bbox = jnp.full((1, 64, 128, 1), jnp.log(10.0))  # height 40 px
+        off = jnp.zeros((1, 64, 128, 2))
+        dets, labels, valid = csp_decode(cls, bbox, off, (H, W), CFG)
+        v = np.asarray(valid)
+        assert v.sum() >= 1
+        top = np.asarray(dets)[0]
+        # center at (x, y) = (64*4+2, 32*4+2); height 40, width 16.4
+        assert abs((top[1] + top[3]) / 2 - (32 * 4 + 2)) < 1.0
+        assert abs((top[3] - top[1]) - 40.0) < 1.0
+        assert abs((top[2] - top[0]) - 0.41 * 40.0) < 1.0
+
+
+class TestDetectionIG:
+    def test_identical_boxes_zero_gain(self):
+        from blockcopy_tpu.tasks.detection.information_gain import (
+            build_instance_mask_iou_gain,
+        )
+        boxes = [[np.array([[10, 10, 50, 90, 0.9]], np.float32)]]
+        ig = build_instance_mask_iou_gain(boxes, boxes, (1, 128, 128, 1))
+        assert ig.max() == pytest.approx(0.0)
+
+    def test_disappeared_box_full_gain(self):
+        from blockcopy_tpu.tasks.detection.information_gain import (
+            build_instance_mask_iou_gain,
+        )
+        prev = [[np.array([[10, 10, 50, 90, 0.8]], np.float32)]]
+        cur = [[np.zeros((0, 5), np.float32)]]
+        ig = build_instance_mask_iou_gain(cur, prev, (1, 128, 128, 1))
+        assert ig[0, 40, 30, 0] == pytest.approx(0.8)
+
+    def test_output_repr_mask(self):
+        from blockcopy_tpu.tasks.detection.information_gain import (
+            DetectionInformationGain,
+        )
+        ig = DetectionInformationGain(num_classes=1)
+        meta = {
+            "outputs": [[np.array([[0, 0, 10, 10, 0.5]], np.float32)]],
+            "inputs": jnp.zeros((1, 64, 64, 3)),
+        }
+        mask = np.asarray(ig.get_output_repr(meta))
+        assert mask.shape == (1, 64, 64, 1)
+        assert mask[0, 5, 5, 0] == pytest.approx(0.5)
+        assert mask[0, 30, 30, 0] == 0.0
+
+
+class TestCSPBlockCopyEngine:
+    def test_clip_with_rl_policy(self, params):
+        settings = default_settings(
+            block_policy="rl_objectdetection", block_num_classes=1,
+            block_size=BS, block_train_interval=2,
+            block_quantize_number_exec=0.5, block_target=0.3,
+        )
+        model = CSPBlockCopy(params, CFG, settings)
+        model.reset_temporal()
+        rs = np.random.RandomState(0)
+        base = rs.randn(1, H, W, 3).astype(np.float32)
+        for t in range(4):
+            f = base.copy()
+            f[:, 20 * t: 20 * t + 60, 20 * t: 20 * t + 60] += 2.0
+            out = model(jnp.asarray(f))
+        assert isinstance(out, list) and len(out) == CFG.num_classes - 1
+        assert out[0].ndim == 2 and out[0].shape[1] == 5
+        assert model.flops.average_gmacs() > 0
+        assert model.policy.running_cost is not None
