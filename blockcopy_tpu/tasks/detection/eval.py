@@ -1,0 +1,218 @@
+"""CSP + BlockCopy detection evaluation CLI.
+
+Mirrors the reference driver ``Pedestron/tools/test_city_person.py``: builds
+warmup (train-split) and eval dataloaders of CityPersons clips, runs the
+per-clip BlockCopy loop (``reset_temporal`` per clip, per-frame
+``simple_test``), dumps COCO-format detections, and reports the four
+CityPersons miss rates plus average sparse GMACs.
+
+Configs are mmdet-style python files loaded through
+``blockcopy_tpu.utils.registry`` (see ``configs/csp/``); ``--synthetic``
+runs on generated clips for data-free smoke tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blockcopy_tpu.core.argparser import add_argparser_arguments
+from blockcopy_tpu.data.loader import PrefetchLoader
+from blockcopy_tpu.models.csp import CSPBlockCopy, CSPConfig, init_csp
+from blockcopy_tpu.tasks.detection.dataset import CityPersonsClipDataset
+from blockcopy_tpu.tasks.detection.eval_mr import (
+    CityPersonsMREvaluator,
+    SETUP_LABELS,
+    bbox_results_to_coco,
+)
+from blockcopy_tpu.utils.profiler import timings
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("blockcopy_tpu.detection")
+
+
+class SyntheticDetClipDataset:
+    """Generated pedestrian-ish clips with moving bright blobs + matching
+    COCO GT, for data-free runs."""
+
+    def __init__(self, num_clips, clip_length, height, width, seed=0):
+        self.num_clips = num_clips
+        self.clip_length = clip_length
+        self.h, self.w = height, width
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_clips
+
+    def coco_gt(self):
+        images, anns = [], []
+        aid = 1
+        for i in range(self.num_clips):
+            images.append({"id": i + 1,
+                           "file_name": f"synthetic_{i:06d}_leftImg8bit.png",
+                           "width": self.w, "height": self.h})
+            for x, y, w, h in self._boxes(i, self.clip_length - 1):
+                anns.append({
+                    "id": aid, "image_id": i + 1, "category_id": 1,
+                    "bbox": [x, y, w, h], "height": h, "vis_ratio": 1.0,
+                    "ignore": 0, "iscrowd": 0, "area": w * h,
+                })
+                aid += 1
+        return {"images": images, "annotations": anns,
+                "categories": [{"id": 1, "name": "pedestrian"}]}
+
+    def _boxes(self, index, t):
+        rs = np.random.RandomState(self.seed + index)
+        n = rs.randint(1, 4)
+        boxes = []
+        for k in range(n):
+            x = int(rs.randint(0, self.w - 80)) + 3 * t
+            y = int(rs.randint(0, self.h - 160))
+            boxes.append((min(x, self.w - 40), y, 33, 80))
+        return boxes
+
+    def __getitem__(self, index):
+        rs = np.random.RandomState(self.seed + index)
+        base = rs.randn(self.h, self.w, 3).astype(np.float32) * 0.3
+        clip = []
+        for t in range(self.clip_length):
+            f = base.copy()
+            for x, y, w, h in self._boxes(index, t):
+                f[y:y + h, x:x + w] += 2.5
+            clip.append(f)
+        meta = {"image_id": index + 1,
+                "file_name": f"synthetic_{index:06d}_leftImg8bit.png",
+                "img_shape": (self.h, self.w), "scale_factor": 1.0,
+                "is_clip": True}
+        return clip, [], meta
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="BlockCopy-TPU CSP test")
+    p.add_argument("--config", type=str, default="",
+                   help="mmdet-style python config file")
+    p.add_argument("--checkpoint", type=str, default="")
+    p.add_argument("--ann-file", type=str, default="")
+    p.add_argument("--img-prefix", type=str, default="")
+    p.add_argument("--ann-file-warmup", type=str, default="")
+    p.add_argument("--img-prefix-warmup", type=str, default="")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--res", type=int, default=1024)
+    p.add_argument("--clip-length", type=int, default=20)
+    p.add_argument("--num-clips-warmup", type=int, default=300)
+    p.add_argument("--num-clips-eval", type=int, default=-1)
+    p.add_argument("--workers", type=int, default=6)
+    p.add_argument("--half", action="store_true")
+    p.add_argument("--out", type=str, default="",
+                   help="json file for detection dump")
+    p.add_argument("--timings", type=int, default=0)
+    add_argparser_arguments(p)
+    p.set_defaults(block_policy="rl_objectdetection", block_num_classes=1,
+                   block_target=0.3, block_optim_wd=0.0001)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    logger.info("Arguments: %s", args)
+    timings.set_level(args.timings)
+    dtype = jnp.bfloat16 if args.half else jnp.float32
+
+    cfg = CSPConfig()
+    settings = {k: v for k, v in vars(args).items()}
+    if args.config:
+        from blockcopy_tpu.utils.registry import load_config
+        file_cfg = load_config(args.config)
+        settings.update(file_cfg.get("model", {}).get("blockcopy_settings",
+                                                      {}))
+
+    if args.checkpoint and os.path.isfile(args.checkpoint):
+        from blockcopy_tpu.utils.checkpoint import load_npz
+        like = init_csp(jax.random.PRNGKey(0), cfg)
+        params = load_npz(args.checkpoint, like, dtype)
+        logger.info("loaded checkpoint %s", args.checkpoint)
+    else:
+        if args.checkpoint:
+            logger.warning("checkpoint '%s' not found: random init",
+                           args.checkpoint)
+        params = init_csp(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    model = CSPBlockCopy(params, cfg, settings)
+
+    if args.synthetic:
+        n_warm = max(args.num_clips_warmup, 0) or 2
+        n_eval = args.num_clips_eval if args.num_clips_eval > 0 else 2
+        ds_warm = SyntheticDetClipDataset(n_warm, args.clip_length, args.res,
+                                          args.res * 2)
+        ds_eval = SyntheticDetClipDataset(n_eval, args.clip_length, args.res,
+                                          args.res * 2, seed=10_000)
+        evaluator = CityPersonsMREvaluator(ds_eval.coco_gt())
+    else:
+        assert args.ann_file and args.img_prefix, \
+            "need --ann-file/--img-prefix or --synthetic"
+        ds_eval = CityPersonsClipDataset(args.ann_file, args.img_prefix,
+                                         clip_length=args.clip_length)
+        warm_ann = args.ann_file_warmup or args.ann_file
+        warm_img = args.img_prefix_warmup or args.img_prefix
+        ds_warm = CityPersonsClipDataset(warm_ann, warm_img,
+                                         clip_length=args.clip_length)
+        evaluator = CityPersonsMREvaluator(args.ann_file)
+
+    def run_phase(ds, phase, max_clips):
+        loader = PrefetchLoader(ds, num_workers=args.workers,
+                                max_items=max_clips if max_clips >= 0 else -1)
+        logger.info("## phase %s: %d clips", phase, len(loader))
+        detections = []
+        num_images = 0
+        start = time.perf_counter()
+        for clip, _, meta in iter(loader):
+            model.reset_temporal()
+            for frame in clip:
+                arr = jnp.asarray(np.asarray(frame, np.float32)[None], dtype)
+                num_images += 1
+                bbox_results = model.simple_test(arr,
+                                                 img_shape=meta["img_shape"])
+            if phase == "eval":
+                detections.extend(
+                    bbox_results_to_coco([bbox_results[0] if isinstance(
+                        bbox_results, list) else bbox_results],
+                        meta["image_id"])
+                )
+        elapsed = time.perf_counter() - start
+        return detections, num_images, elapsed
+
+    run_phase(ds_warm, "warmup", args.num_clips_warmup)
+    model.flops.reset_frames()
+    dets, num_images, elapsed = run_phase(ds_eval, "eval",
+                                          args.num_clips_eval)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(dets, f)
+        logger.info("wrote %d detections to %s", len(dets), args.out)
+
+    mrs = evaluator.evaluate(dets)
+    results = {f"MR_{k}": v for k, v in mrs.items()}
+    results["fps"] = num_images / elapsed
+    results["gmacs_per_image"] = model.flops.average_gmacs()
+    results["perc_exec"] = model.policy.stats.get_exec_percentage()
+    for k in SETUP_LABELS:
+        logger.info("Average Miss Rate (MR) %-22s = %.2f%%", k,
+                    mrs[k])
+    logger.info("Computational cost (avg per img): %.3f GMACs",
+                results["gmacs_per_image"])
+    if args.timings:
+        logger.info("%s", timings)
+    print(json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

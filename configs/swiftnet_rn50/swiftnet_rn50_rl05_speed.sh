@@ -1,0 +1,5 @@
+#!/bin/sh
+# speed config: RL policy FPS (reference uses --block-train-interval 3 here)
+python -m blockcopy_tpu.tasks.semseg.eval --cityscapes-dir ${CITYSCAPES_DIR:-/path/to/cityscapes} \
+--model-backbone resnet50 --model-checkpoint pretrained/swiftnet_rn50.pth --half --fast --single-clip-loop \
+--clip-length 20 --num-clips-warmup 50 --num-clips-eval 20 --block-size 128 --block-policy rl_semseg --block-target 0.5 --block-train-interval 3
