@@ -30,12 +30,17 @@ with no branches.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from blockcopy_tpu.core import grid as gridlib
+
+# Halo-exchange lowering: 'xla' (gather/concat) or 'pallas' (fused DMA
+# kernel, ops/pallas/halo.py).  Both share the same interface and tests.
+HALO_IMPL = os.environ.get("BLOCKCOPY_TPU_HALO", "xla")
 
 __all__ = [
     "BlockPack",
@@ -152,7 +157,8 @@ def scatter_pack(canvas: jax.Array, pack: BlockPack) -> jax.Array:
 
 
 def halo_gather(
-    canvas: jax.Array, pack_idx: jax.Array, pad: int, n: int, gh: int, gw: int
+    canvas: jax.Array, pack_idx: jax.Array, pad: int, n: int, gh: int,
+    gw: int, center: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Gather ``(K, bs+2p, bs+2p, C)`` padded blocks from a canvas.
 
@@ -160,6 +166,11 @@ def halo_gather(
     that executed neighbors contribute same-frame values — this ordering
     reproduces the reference repad kernel's executed-vs-transferred source
     selection (``utils/blockpad.py:108-146``) with zero control flow.
+
+    ``center``: the freshly scattered block data ``(K, bs, bs, C)``; passing
+    it skips re-reading the block interiors from HBM (only the halo strips
+    are gathered) — the analogue of the reference transfer kernel's
+    halo-only fast path (``utils/block_funcs.py:218-224``).
     """
     p = pad
     assert p > 0
@@ -171,7 +182,8 @@ def halo_gather(
         # model's zero padding at image borders).
         return jnp.take(src, i, axis=0, mode="clip")
 
-    center = take(canvas, pack_idx)
+    if center is None:
+        center = take(canvas, pack_idx)
     # Slice-then-gather: XLA fuses the strided slice into the gather so only
     # the strip bytes move.
     top = take(canvas[:, -p:, :, :], t)
@@ -267,7 +279,13 @@ class ExecCtx:
         canvas = self.canvas_for(name, x)
         canvas = scatter_pack(canvas, x)
         self.canvases[name] = canvas
-        return halo_gather(canvas, x.idx, pad, self.n, self.gh, self.gw)
+        center = x.data.astype(canvas.dtype)
+        if HALO_IMPL == "pallas":
+            from blockcopy_tpu.ops.pallas.halo import halo_gather_pallas
+            return halo_gather_pallas(canvas, x.idx, pad, self.n, self.gh,
+                                      self.gw, center)
+        return halo_gather(canvas, x.idx, pad, self.n, self.gh, self.gw,
+                           center=center)
 
     def store_dense(self, name: str, x: BlockPack) -> jax.Array:
         """Scatter blocks into the named canvas and return the dense image —

@@ -82,7 +82,12 @@ class CityscapesVid:
 
     def __init__(self, root: str, split: str = "train",
                  target_type: str = "semantic", transform=None,
-                 clip_length: int = 20, has_labels: bool = True):
+                 clip_length: int = 20, has_labels: bool = True,
+                 native: bool = False, native_size=None):
+        """``native=True`` decodes clip frames with the C++ IO library
+        (``blockcopy_tpu/native``: threaded PNG decode + PIL-equivalent
+        antialiased resize + normalize in one pass); ``native_size`` is the
+        (h, w) target.  Labels always go through PIL (palette exactness)."""
         self.root = os.path.expanduser(root)
         self.mode = "gtFine"
         self.images_dir = os.path.join(self.root, "leftImg8bit", split)
@@ -94,6 +99,14 @@ class CityscapesVid:
         self.interval = 1
         self.has_labels = has_labels
         self.split = split
+        self.native = native
+        self.native_size = native_size
+        if native:
+            from blockcopy_tpu import native as native_lib
+            if not native_lib.available():
+                raise RuntimeError("native IO library not built "
+                                   "(make -C blockcopy_tpu/native)")
+            assert native_size is not None, "native=True needs native_size"
 
         if split not in ("train", "test", "val"):
             raise ValueError("split must be train/test/val")
@@ -145,12 +158,27 @@ class CityscapesVid:
         prefix = "_".join(parts[:-1])
         frame_id = int(parts[-1])
 
-        clip = [img]
-        for i in range(1, self.clip_length):
-            this_fn = f"{prefix}_{str(frame_id - i * self.interval).zfill(6)}" \
-                      "_leftImg8bit.png"
-            clip.append(self._load(os.path.join(self.vid_dir, this_fn)))
-        clip = clip[::-1]
+        if self.native:
+            from blockcopy_tpu import native as native_lib
+            paths = [
+                os.path.join(
+                    self.vid_dir,
+                    f"{prefix}_{str(frame_id - i * self.interval).zfill(6)}"
+                    "_leftImg8bit.png")
+                for i in range(self.clip_length - 1, 0, -1)
+            ] + [self.images[index]]
+            h, w = self.native_size
+            arr = native_lib.decode_clip(paths, w, h, np.asarray(self.mean),
+                                         np.asarray(self.std))
+            clip = list(arr)
+        else:
+            clip = [img]
+            for i in range(1, self.clip_length):
+                this_fn = (f"{prefix}_"
+                           f"{str(frame_id - i * self.interval).zfill(6)}"
+                           "_leftImg8bit.png")
+                clip.append(self._load(os.path.join(self.vid_dir, this_fn)))
+            clip = clip[::-1]
         meta = {"relpath": self.relative_dirs[index]}
         if target is None:
             target = 0

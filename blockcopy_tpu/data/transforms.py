@@ -69,6 +69,94 @@ class ExtRandomHorizontalFlip:
         return img, lbl
 
 
+class ExtCenterCrop:
+    def __init__(self, size):
+        self.size = size  # (h, w)
+
+    def __call__(self, img, lbl):
+        w, h = img.size
+        th, tw = self.size
+        x = max((w - tw) // 2, 0)
+        y = max((h - th) // 2, 0)
+        box = (x, y, x + tw, y + th)
+        img = img.crop(box)
+        if lbl is not None:
+            lbl = lbl.crop(box)
+        return img, lbl
+
+
+class ExtRandomCrop:
+    def __init__(self, size, pad_if_needed: bool = True):
+        self.size = size  # (h, w)
+        self.pad_if_needed = pad_if_needed
+
+    def __call__(self, img, lbl):
+        th, tw = self.size
+        if self.pad_if_needed and (img.size[0] < tw or img.size[1] < th):
+            pw = max(tw - img.size[0], 0)
+            ph = max(th - img.size[1], 0)
+            img = _pad_pil(img, pw, ph, 0)
+            if lbl is not None:
+                lbl = _pad_pil(lbl, pw, ph, 255)
+        w, h = img.size
+        x = random.randint(0, max(w - tw, 0))
+        y = random.randint(0, max(h - th, 0))
+        box = (x, y, x + tw, y + th)
+        img = img.crop(box)
+        if lbl is not None:
+            lbl = lbl.crop(box)
+        return img, lbl
+
+
+def _pad_pil(img, pw, ph, fill):
+    out = Image.new(img.mode, (img.size[0] + pw, img.size[1] + ph),
+                    fill if img.mode != "RGB" else (fill,) * 3)
+    out.paste(img, (0, 0))
+    return out
+
+
+class ExtRandomScale:
+    """Random isotropic rescale by a factor in ``scale_range``."""
+
+    def __init__(self, scale_range=(0.5, 2.0)):
+        self.scale_range = scale_range
+
+    def __call__(self, img, lbl):
+        s = random.uniform(*self.scale_range)
+        size = (int(img.size[0] * s), int(img.size[1] * s))
+        img = img.resize(size, Image.BILINEAR)
+        if lbl is not None:
+            lbl = lbl.resize(size, Image.NEAREST)
+        return img, lbl
+
+
+class ExtColorJitter:
+    """Brightness/contrast/saturation jitter (image only)."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    @staticmethod
+    def _factor(amount):
+        return random.uniform(max(0.0, 1 - amount), 1 + amount)
+
+    def __call__(self, img, lbl):
+        from PIL import ImageEnhance
+
+        if self.brightness > 0:
+            img = ImageEnhance.Brightness(img).enhance(
+                self._factor(self.brightness))
+        if self.contrast > 0:
+            img = ImageEnhance.Contrast(img).enhance(
+                self._factor(self.contrast))
+        if self.saturation > 0:
+            img = ImageEnhance.Color(img).enhance(
+                self._factor(self.saturation))
+        return img, lbl
+
+
 def denormalize(img: np.ndarray, mean, std) -> np.ndarray:
     """Inverse of ExtNormalize, for visualization
     (reference ``lib/utils/misc.py:6-12``)."""

@@ -42,6 +42,16 @@ Arrayish = Union[jax.Array, BlockPack]
 
 DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
+# Debug/ablation switch (reference parity: BLOCKPAD_WITH_ZEROES,
+# ``core/tensorwrapper.py:14``): pad blocked ops with zeros instead of the
+# canvas halo exchange.  Isolates halo-machinery cost/correctness.
+import os as _os
+BLOCKPAD_WITH_ZEROES = _os.environ.get("BLOCKCOPY_TPU_ZERO_HALO", "0") == "1"
+
+
+def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:
+    return jnp.pad(data, ((0, 0), (p, p), (p, p), (0, 0)))
+
 
 def _data(x: Arrayish) -> jax.Array:
     return x.data if isinstance(x, BlockPack) else x
@@ -108,7 +118,10 @@ def conv2d(
     cin = w.shape[2]
     if isinstance(x, BlockPack) and not ctx.is_dense:
         if p > 0:
-            data = ctx.exchange(name, x, p)
+            if BLOCKPAD_WITH_ZEROES:  # debug/ablation mode
+                data = _zero_pad_blocks(x.data, p)
+            else:
+                data = ctx.exchange(name, x, p)
             out = x.with_data(run(data, "VALID"))
         else:
             out = x.with_data(run(x.data, "VALID"))
@@ -231,7 +244,10 @@ def max_pool2d(
     pooling occurs; documented reference quirk.
     """
 
-    def pool(data: jax.Array, pad_cfg, init) -> jax.Array:
+    def pool(data: jax.Array, pad_cfg) -> jax.Array:
+        # init must be a static scalar: a traced -inf array breaks
+        # reduce_window's linearization rule under jit
+        init = np.array(-np.inf, data.dtype)[()]
         return lax.reduce_window(
             data,
             init,
@@ -247,11 +263,11 @@ def max_pool2d(
         else:
             data = x.data
         return x.with_data(
-            pool(data, "VALID", jnp.array(-jnp.inf, data.dtype))
+            pool(data, "VALID")
         )
     data = _data(x)
     pad_cfg = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    return _rewrap(x, pool(data, pad_cfg, jnp.array(-jnp.inf, data.dtype)))
+    return _rewrap(x, pool(data, pad_cfg))
 
 
 def avg_pool2d(x: Arrayish, kernel: int, stride: Optional[int] = None) -> Arrayish:
@@ -300,7 +316,7 @@ def adaptive_max_pool2d(x: jax.Array, out_hw) -> jax.Array:
     kh, kw = h // oh, w // ow
     return lax.reduce_window(
         x,
-        jnp.array(-jnp.inf, x.dtype),
+        np.array(-np.inf, x.dtype)[()],
         lax.max,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, kh, kw, 1),

@@ -96,6 +96,8 @@ def build_argparser():
     parser.add_argument("--output-dir", default="", type=str)
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--single-clip-loop", action="store_true")
+    parser.add_argument("--native-io", action="store_true",
+                        help="decode clips with the C++ IO library")
     parser.add_argument("--timings", type=int, default=0)
     add_argparser_arguments(parser)
     return parser
@@ -129,14 +131,17 @@ def main(argv=None):
         dataset_eval = DemoImageDataset(args.demo_dir, val_transform)
     elif args.cityscapes_dir:
         has_labels = not args.fast and args.mode != "test"
+        native_kw = dict(native=args.native_io,
+                         native_size=(args.res, args.res * 2)) \
+            if args.native_io else {}
         dataset_warmup = CityscapesVid(args.cityscapes_dir, split="train",
                                        transform=val_transform,
                                        clip_length=args.clip_length,
-                                       has_labels=has_labels)
+                                       has_labels=has_labels, **native_kw)
         dataset_eval = CityscapesVid(args.cityscapes_dir, split=args.mode,
                                      transform=val_transform,
                                      clip_length=args.clip_length,
-                                     has_labels=has_labels)
+                                     has_labels=has_labels, **native_kw)
     else:
         raise AttributeError("need --synthetic, --demo-dir or --cityscapes-dir")
 

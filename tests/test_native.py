@@ -1,0 +1,97 @@
+"""Native C++ runtime library (PNG decode/resize/normalize, CPU NMS)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import blockcopy_tpu.native as native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+@pytest.fixture(scope="module")
+def png_dir():
+    d = tempfile.mkdtemp()
+    rs = np.random.RandomState(0)
+    img = (rs.rand(64, 96, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(os.path.join(d, "rgb.png"))
+    lab = (rs.rand(32, 40) * 30).astype(np.uint8)
+    Image.fromarray(lab, mode="L").save(os.path.join(d, "label.png"))
+    pal = Image.fromarray(lab, mode="P")
+    pal.putpalette([i for i in range(256) for _ in range(3)])
+    pal.save(os.path.join(d, "palette.png"))
+    return d, img, lab
+
+
+class TestDecode:
+    def test_same_size_exact(self, png_dir):
+        d, img, _ = png_dir
+        mean = np.array([0.3, 0.4, 0.5], np.float32)
+        std = np.array([0.2, 0.3, 0.4], np.float32)
+        out = native.decode_image(os.path.join(d, "rgb.png"), 96, 64, mean,
+                                  std)
+        ref = (img.astype(np.float32) / 255.0 - mean) / std
+        np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.parametrize("size", [(48, 32), (192, 128), (47, 29)])
+    def test_resize_matches_pil_antialias(self, png_dir, size):
+        d, img, _ = png_dir
+        zero = np.zeros(3, np.float32)
+        one = np.ones(3, np.float32)
+        out = native.decode_image(os.path.join(d, "rgb.png"), size[0],
+                                  size[1], zero, one) * 255
+        pil = np.asarray(Image.fromarray(img).resize(size, Image.BILINEAR),
+                         np.float32)
+        # <= 1/255: PIL quantizes to uint8, our path stays float
+        assert np.abs(out - pil).max() <= 1.0 + 1e-5
+
+    def test_clip_decode(self, png_dir):
+        d, img, _ = png_dir
+        zero = np.zeros(3, np.float32)
+        one = np.ones(3, np.float32)
+        p = os.path.join(d, "rgb.png")
+        clip = native.decode_clip([p, p], 96, 64, zero, one)
+        assert clip.shape == (2, 64, 96, 3)
+        np.testing.assert_array_equal(clip[0], clip[1])
+
+    def test_label_decode_gray_and_palette(self, png_dir):
+        d, _, lab = png_dir
+        got = native.decode_label(os.path.join(d, "label.png"))
+        np.testing.assert_array_equal(got, lab)
+        got_p = native.decode_label(os.path.join(d, "palette.png"))
+        np.testing.assert_array_equal(got_p, lab)
+
+    def test_missing_file_raises(self):
+        with pytest.raises(IOError):
+            native.decode_image("/nonexistent.png", 8, 8,
+                                np.zeros(3, np.float32),
+                                np.ones(3, np.float32))
+
+
+class TestNativeNMS:
+    def test_nms_matches_jax(self):
+        from blockcopy_tpu.ops.nms import nms_mask
+        import jax.numpy as jnp
+        rs = np.random.RandomState(1)
+        n = 50
+        xy = rs.rand(n, 2) * 100
+        wh = rs.rand(n, 2) * 30 + 5
+        dets = np.concatenate(
+            [xy, xy + wh, rs.rand(n, 1)], axis=1
+        ).astype(np.float32)
+        keep_native = set(native.nms(dets, 0.5).tolist())
+        order = np.argsort(-dets[:, 4], kind="mergesort")
+        keep_mask = np.asarray(nms_mask(jnp.asarray(dets[order, :4]),
+                                        jnp.asarray(dets[order, 4]), 0.5))
+        keep_jax = set(order[keep_mask].tolist())
+        assert keep_native == keep_jax
+
+    def test_soft_nms_decays_scores(self):
+        dets = np.array([[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],
+                         [50, 50, 60, 60, 0.7]], np.float32)
+        out, keep = native.soft_nms(dets, 0.3, method="linear")
+        assert len(keep) >= 2

@@ -1,0 +1,64 @@
+"""Online-REINFORCE convergence: the execution rate must steer toward the
+target, and the policy must prefer changing regions (the core capability
+claim of BlockCopy).  Drives PolicyTrainRL directly with synthetic task
+outputs so no task network is needed."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blockcopy_tpu.core.argparser import default_settings
+from blockcopy_tpu.policy.policies import build_policy_from_settings
+
+H, W, BS = 256, 512, 64  # 4x8 grid = 32 blocks
+C = 19
+
+
+def synthetic_stream(frames, seed=0):
+    """Frames with motion confined to the left half; outputs follow inputs
+    (so KL information gain concentrates where motion is)."""
+    rs = np.random.RandomState(seed)
+    base = rs.randn(1, H, W, 3).astype(np.float32)
+    outs_base = rs.randn(1, H // 4, W // 4, C).astype(np.float32)
+    for t in range(frames):
+        f = base.copy()
+        f[:, (13 * t) % (H - 64):, : W // 2] += 1.5  # motion left half only
+        o = outs_base.copy()
+        o[:, (3 * t) % (H // 4 - 16):, : W // 8] += 2.0
+        yield jnp.asarray(f), jnp.asarray(o)
+
+
+def run_policy(target, frames=120, train_interval=2):
+    settings = default_settings(
+        block_policy="rl_semseg", block_size=BS, block_target=target,
+        block_train_interval=train_interval, block_num_classes=C,
+        block_quantize_number_exec=0.0,
+    )
+    policy = build_policy_from_settings(settings)
+    meta = {"inputs": None, "outputs": None, "outputs_prev": None}
+    rates = []
+    t = 0
+    for frame, out in synthetic_stream(frames):
+        t += 1
+        meta["inputs"] = frame
+        meta = policy(meta)
+        # pretend the task model ran: outputs/frame_state from the stream
+        meta["frame_state"] = frame
+        meta["outputs_prev"] = meta["outputs"]
+        meta["outputs"] = out
+        meta = policy.optim(meta, train=(t % train_interval == 0))
+        rates.append(meta["perc_exec"])
+    return policy, rates
+
+
+class TestConvergence:
+    def test_exec_rate_steers_to_target(self):
+        policy, rates = run_policy(target=0.25, frames=120)
+        late = float(np.mean(rates[-40:]))
+        assert abs(late - 0.25) < 0.1, late
+        assert abs(policy.running_cost - 0.25) < 0.15, policy.running_cost
+
+    def test_high_target_pulls_up(self):
+        policy, rates = run_policy(target=0.9, frames=100)
+        late = float(np.mean(rates[-30:]))
+        assert late > 0.6, late
