@@ -133,6 +133,33 @@ class FixedCapacityStepper:
             "policy": self.init_policy_state(key),
         }
 
+    def macs_per_step(self, model_params, policy: bool = True) -> float:
+        """Exact model MACs of one steady-state step (capacity blocks), plus
+        the policy-net cost; counted at trace time (shapes are static)."""
+        from blockcopy_tpu.utils.flops import policy_net_macs
+
+        n, gh, gw = self.geom
+        box = {}
+
+        def f(frame):
+            idx = jnp.zeros((self.capacity,), jnp.int32)
+            ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+            pack = split_dense(frame, idx, n, gh, gw)
+            ctx.store_dense(FRAME_STATE, pack)
+            out = self.apply_fn(model_params, pack, ctx)
+            dense = ctx.store_dense(OUT, out)
+            box["macs"] = ctx.total_macs
+            return dense
+
+        jax.eval_shape(f, jax.ShapeDtypeStruct(self.frame_shape, self.dtype))
+        macs = box["macs"]
+        if policy:
+            _, h, w, _ = self.frame_shape
+            scale = 0.25 * 128 / self.cfg.block_size
+            macs += policy_net_macs(int(h * scale), int(w * scale),
+                                    self.cfg.num_classes)
+        return macs
+
     def reset_temporal(self, state: Dict) -> Dict:
         """New clip: reset the frame counter (canvases are fully overwritten
         by the all-exec first frame; policy state persists across clips like

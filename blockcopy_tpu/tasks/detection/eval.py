@@ -125,26 +125,27 @@ def main(argv=None):
     timings.set_level(args.timings)
     dtype = jnp.bfloat16 if args.half else jnp.float32
 
-    cfg = CSPConfig()
     settings = {k: v for k, v in vars(args).items()}
+    ckpt = args.checkpoint if args.checkpoint and \
+        os.path.isfile(args.checkpoint) else None
+    if args.checkpoint and not ckpt:
+        logger.warning("checkpoint '%s' not found: random init",
+                       args.checkpoint)
     if args.config:
+        from blockcopy_tpu.models.builder import build_detector
         from blockcopy_tpu.utils.registry import load_config
         file_cfg = load_config(args.config)
-        settings.update(file_cfg.get("model", {}).get("blockcopy_settings",
-                                                      {}))
-
-    if args.checkpoint and os.path.isfile(args.checkpoint):
-        from blockcopy_tpu.utils.checkpoint import load_npz
-        like = init_csp(jax.random.PRNGKey(0), cfg)
-        params = load_npz(args.checkpoint, like, dtype)
-        logger.info("loaded checkpoint %s", args.checkpoint)
+        model = build_detector(file_cfg, checkpoint=ckpt, dtype=dtype)
     else:
-        if args.checkpoint:
-            logger.warning("checkpoint '%s' not found: random init",
-                           args.checkpoint)
-        params = init_csp(jax.random.PRNGKey(0), cfg, dtype=dtype)
-
-    model = CSPBlockCopy(params, cfg, settings)
+        cfg = CSPConfig()
+        if ckpt:
+            from blockcopy_tpu.utils.checkpoint import load_npz
+            like = init_csp(jax.random.PRNGKey(0), cfg)
+            params = load_npz(ckpt, like, dtype)
+            logger.info("loaded checkpoint %s", ckpt)
+        else:
+            params = init_csp(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        model = CSPBlockCopy(params, cfg, settings)
 
     if args.synthetic:
         n_warm = max(args.num_clips_warmup, 0) or 2

@@ -98,6 +98,10 @@ def build_argparser():
     parser.add_argument("--single-clip-loop", action="store_true")
     parser.add_argument("--native-io", action="store_true",
                         help="decode clips with the C++ IO library")
+    parser.add_argument("--speed-mode", action="store_true",
+                        help="fixed-capacity fused stepper: the whole frame "
+                        "step is one compiled program, zero host syncs "
+                        "(rl policy only; implies --fast semantics)")
     parser.add_argument("--timings", type=int, default=0)
     add_argparser_arguments(parser)
     return parser
@@ -160,7 +164,28 @@ def main(argv=None):
     apply_fn = make_apply_fn(cfg)
     static = args.block_policy == "static"
     model = None
-    if not static:
+    stepper_state = {}
+    if args.speed_mode and not static:
+        from blockcopy_tpu.core.stepper import (
+            FixedCapacityStepper, StepperConfig,
+        )
+        gh, gw = args.res // args.block_size, args.res * 2 // args.block_size
+        capacity = max(1, int(round(args.block_target * gh * gw)))
+        stepper = FixedCapacityStepper(
+            apply_fn, StepperConfig.from_settings(vars(args)),
+            (args.batch_size, args.res, args.res * 2, 3), capacity,
+            dtype=dtype,
+        )
+        stepper_state["stepper"] = stepper
+        stepper_state["first"] = jax.jit(stepper.first_step,
+                                         donate_argnums=(1,))
+        stepper_state["step"] = jax.jit(stepper.step, donate_argnums=(1,))
+        stepper_state["state"] = stepper.init_state(params,
+                                                    jax.random.PRNGKey(1))
+        logger.info("speed mode: capacity %d/%d blocks, %.2f GMACs/frame",
+                    capacity, gh * gw,
+                    stepper.macs_per_step(params) / 1e9)
+    elif not static:
         model = blockcopy_tpu.BlockCopyModel(apply_fn, params, vars(args))
     dense_fwd = jax.jit(lambda p, x: swiftnet_apply(p, x, ExecCtx.dense(), cfg))
 
@@ -180,14 +205,26 @@ def main(argv=None):
     def process_clip(clip, meta, phase):
         if model is not None:
             model.reset_temporal()
+        if stepper_state:
+            stepper_state["state"] = stepper_state["stepper"].reset_temporal(
+                stepper_state["state"])
         preds = None
         for frame_id, frame in enumerate(clip):
             arr = np.asarray(frame, np.float32)[None]  # (1, H, W, 3)
             inputs = jnp.asarray(arr, dtype)
             timings.add_count(1)
             with timings.env("process_clip/model", 2):
-                out = model(inputs) if model is not None \
-                    else dense_fwd(params, inputs)
+                if stepper_state:
+                    fn = stepper_state["first"] if frame_id == 0 else \
+                        stepper_state["step"]
+                    stepper_state["state"] = fn(params,
+                                                stepper_state["state"],
+                                                inputs)
+                    out = stepper_state["state"]["outputs"]
+                elif model is not None:
+                    out = model(inputs)
+                else:
+                    out = dense_fwd(params, inputs)
                 if frame_id == len(clip) - 1 or output_dir:
                     preds = upsample(out, inputs.shape[1:3])
             if output_dir and phase != "warmup":
@@ -240,6 +277,12 @@ def main(argv=None):
                 results["gmacs_per_image"] = gmacs
                 logger.info("%s", model.policy.stats)
                 results["perc_exec"] = model.policy.stats.get_exec_percentage()
+            elif stepper_state:
+                st = stepper_state["stepper"]
+                results["gmacs_per_image"] = st.macs_per_step(params) / 1e9
+                results["perc_exec"] = st.capacity / st.total
+                results["running_cost"] = float(
+                    stepper_state["state"]["policy"]["running_cost"])
             if args.timings:
                 logger.info("%s", timings)
             return results

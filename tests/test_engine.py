@@ -118,6 +118,39 @@ class TestPolicyOracles:
                     )
 
 
+class TestBatch:
+    def test_batch2_engine(self, params):
+        """Batch >1 (reference speed configs use --batch-size 2): the grid
+        flattens jointly over the batch, each image keeps its own temporal
+        state rows."""
+        model = make_model(params, "random")
+        model.reset_temporal()
+        rs = np.random.RandomState(7)
+        clip = [jnp.asarray(rs.randn(2, H, W, 3).astype(np.float32))
+                for _ in range(3)]
+        for f in clip:
+            out = model(f)
+        assert out.shape == (2, H // 4, W // 4, 19)
+        assert model.policy_meta["num_total"] == 2 * (H // BS) * (W // BS)
+
+
+class TestStepperMacs:
+    def test_macs_scale_with_capacity(self, params):
+        from blockcopy_tpu.core.stepper import (
+            FixedCapacityStepper, StepperConfig,
+        )
+        cfg = StepperConfig(block_size=BS)
+        s4 = FixedCapacityStepper(make_apply_fn(CFG), cfg, (1, H, W, 3),
+                                  capacity=4)
+        s8 = FixedCapacityStepper(make_apply_fn(CFG), cfg, (1, H, W, 3),
+                                  capacity=8)
+        m4 = s4.macs_per_step(params, policy=False)
+        m8 = s8.macs_per_step(params, policy=False)
+        assert m8 > m4 > 0
+        # SPP runs dense regardless of capacity, so scaling is sublinear
+        assert 1.5 < m8 / m4 < 2.0
+
+
 class TestRLPolicy:
     def test_rl_semseg_runs_and_updates(self, params):
         model = make_model(params, "rl_semseg", block_train_interval=2)
