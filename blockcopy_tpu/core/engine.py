@@ -155,6 +155,35 @@ class BlockCopyModel:
         self._steps[capacity] = model_step
         return model_step
 
+    # -- checkpoint / resume --------------------------------------------------
+    # The reference never persists the online policy (retrained from scratch
+    # each run, semantic_segmentation/README.md:18); here both the policy and
+    # the temporal canvases are checkpointable so warmup can be amortized and
+    # clips resumed mid-stream.
+
+    def save_policy(self, path: str) -> None:
+        from blockcopy_tpu.utils.checkpoint import save_params
+
+        state = self.policy.state()
+        if state:
+            state = dict(state)
+            state["running_cost"] = jnp.float32(
+                state.get("running_cost") or -1.0)
+            save_params(path, state)
+
+    def load_policy(self, path: str) -> None:
+        from blockcopy_tpu.utils.checkpoint import load_npz
+
+        like = self.policy.state()
+        if not like:
+            return
+        like = dict(like)
+        like["running_cost"] = jnp.float32(-1.0)
+        loaded = load_npz(path, like)
+        rc = float(loaded["running_cost"])
+        loaded["running_cost"] = None if rc < 0 else rc
+        self.policy.load_state(loaded)
+
     # -- frame loop ---------------------------------------------------------
 
     def __call__(self, inputs, **kwargs):

@@ -304,6 +304,11 @@ class PolicyTrainRL(Policy):
                 policy_meta["frame_state"], policy_meta["output_repr"],
                 policy_meta["grid"].astype(jnp.float32),
             )
+            if self.verbose:
+                # NaN guard (reference policy.py:281-283); only when verbose
+                # so the hot path stays sync-free
+                assert bool(jnp.isfinite(exec_p) & jnp.isfinite(skip_p)), \
+                    "Policy net returned NaN's, maybe optimization problem?"
             policy_meta["_rl_cache"] = cache_x
             policy_meta["_rl_probs"] = (exec_p, skip_p)
         return self._finalize(policy_meta, grid)

@@ -98,6 +98,11 @@ def build_argparser():
     parser.add_argument("--single-clip-loop", action="store_true")
     parser.add_argument("--native-io", action="store_true",
                         help="decode clips with the C++ IO library")
+    parser.add_argument("--policy-checkpoint", type=str, default="",
+                        help="npz path: load the online policy state before "
+                        "warmup if present, save it after warmup "
+                        "(improvement over the reference, which retrains "
+                        "the policy from scratch every run)")
     parser.add_argument("--speed-mode", action="store_true",
                         help="fixed-capacity fused stepper: the whole frame "
                         "step is one compiled program, zero host syncs "
@@ -288,7 +293,14 @@ def main(argv=None):
             return results
         return None
 
+    if args.policy_checkpoint and model is not None and \
+            os.path.isfile(args.policy_checkpoint):
+        logger.info("loading policy state from %s", args.policy_checkpoint)
+        model.load_policy(args.policy_checkpoint)
     process_dataset(dataset_warmup, "warmup", args.num_clips_warmup)
+    if args.policy_checkpoint and model is not None:
+        model.save_policy(args.policy_checkpoint)
+        logger.info("saved policy state to %s", args.policy_checkpoint)
     if model is not None:
         model.flops.reset_frames()
         model.policy.stats = type(model.policy.stats)()

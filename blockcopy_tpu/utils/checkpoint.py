@@ -149,6 +149,9 @@ def load_npz(path: str, like, dtype=None) -> Dict:
     def rebuild(tree, prefix=""):
         if isinstance(tree, dict):
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in tree.items()}
+        if isinstance(tree, tuple) and hasattr(tree, "_fields"):  # namedtuple
+            return type(tree)(*(rebuild(v, f"{prefix}{i}/")
+                                for i, v in enumerate(tree)))
         if isinstance(tree, (list, tuple)):
             return [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(tree)]
         arr = jnp.asarray(data[prefix[:-1]])

@@ -1,0 +1,83 @@
+"""Policy-state persistence round trip through the engine and CLI flag, plus
+the demo-folder dataset flow."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from blockcopy_tpu import BlockCopyModel
+from blockcopy_tpu.core.argparser import default_settings
+from blockcopy_tpu.models.swiftnet import SwiftNetConfig, init_swiftnet, make_apply_fn
+
+CFG = SwiftNetConfig(backbone="resnet18")
+H, W, BS = 256, 512, 128
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_swiftnet(jax.random.PRNGKey(0), CFG)
+
+
+def make_model(params):
+    return BlockCopyModel(
+        make_apply_fn(CFG), params,
+        default_settings(block_size=BS, block_quantize_number_exec=0.5,
+                         block_train_interval=2),
+    )
+
+
+class TestPolicyPersistence:
+    def test_engine_policy_roundtrip(self, params, tmp_path):
+        model = make_model(params)
+        model.reset_temporal()
+        rs = np.random.RandomState(0)
+        for t in range(4):
+            f = rs.randn(1, H, W, 3).astype(np.float32)
+            model(jnp.asarray(f))
+        path = str(tmp_path / "policy.npz")
+        model.save_policy(path)
+        assert os.path.exists(path)
+        rc = model.policy.running_cost
+
+        model2 = make_model(params)
+        model2.load_policy(path)
+        assert model2.policy.running_cost == pytest.approx(rc)
+        a = jax.tree_util.tree_leaves(model.policy.net_params)[0]
+        b = jax.tree_util.tree_leaves(model2.policy.net_params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state restored with its NamedTuple type
+        assert hasattr(model2.policy.opt_state, "square_avg")
+        # resumed model steps fine
+        model2.reset_temporal()
+        model2(jnp.asarray(rs.randn(1, H, W, 3).astype(np.float32)))
+
+    def test_cli_policy_checkpoint_flag(self, tmp_path):
+        from blockcopy_tpu.tasks.semseg import eval as cli
+        p = str(tmp_path / "pol.npz")
+        cli.main([
+            "--synthetic", "--res", "256", "--clip-length", "3",
+            "--num-clips-warmup", "1", "--num-clips-eval", "1",
+            "--block-policy", "rl_semseg", "--model-checkpoint", "",
+            "--policy-checkpoint", p,
+        ])
+        assert os.path.exists(p)
+
+
+class TestDemoDataset:
+    def test_demo_dir_cli(self, tmp_path):
+        from blockcopy_tpu.tasks.semseg import eval as cli
+        rs = np.random.RandomState(0)
+        for i in range(3):
+            Image.fromarray(
+                (rs.rand(64, 128, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / f"frame_{i:03d}.png")
+        results = cli.main([
+            "--demo-dir", str(tmp_path), "--res", "256",
+            "--num-clips-warmup", "2", "--num-clips-eval", "3",
+            "--block-policy", "none", "--model-checkpoint", "",
+        ])
+        assert results["fps"] > 0
