@@ -324,19 +324,40 @@ def adaptive_max_pool2d(x: jax.Array, out_hw) -> jax.Array:
     )
 
 
+def _axis_lerp(data: jax.Array, out_size: int, axis: int) -> jax.Array:
+    """Torch-exact bilinear along one axis: half-pixel centers, edge clamp,
+    NO antialiasing on downscale (``F.interpolate(mode='bilinear',
+    align_corners=False)`` — unlike jax.image.resize, which antialiases)."""
+    in_size = data.shape[axis]
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) \
+        * (in_size / out_size) - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    frac = src - i0
+    i0c = jnp.clip(i0, 0, in_size - 1)
+    i1c = jnp.clip(i0 + 1, 0, in_size - 1)
+    a = jnp.take(data, i0c, axis=axis).astype(jnp.float32)
+    b = jnp.take(data, i1c, axis=axis).astype(jnp.float32)
+    shape = [1] * data.ndim
+    shape[axis] = out_size
+    f = frac.reshape(shape)
+    return a * (1 - f) + b * f
+
+
 def resize_bilinear(x: Arrayish, out_hw) -> Arrayish:
-    """Bilinear resize with half-pixel centers (torch ``align_corners=False``).
+    """Bilinear resize with half-pixel centers — exact torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` semantics for
+    both up- and downscaling (the reference uses it for decoder upsampling
+    and for the information-gain downsample, ``information_gain.py:36-37``).
 
     On blocked inputs this operates per block, exactly like the reference
     which interpolates the packed tensor directly (INTERPOLATE category).
     """
 
     def rs(data: jax.Array) -> jax.Array:
-        lead = data.shape[0]
-        c = data.shape[-1]
-        return jax.image.resize(
-            data, (lead, out_hw[0], out_hw[1], c), method="bilinear"
-        ).astype(data.dtype)
+        dt = data.dtype
+        out = _axis_lerp(data, out_hw[0], axis=1)
+        out = _axis_lerp(out, out_hw[1], axis=2)
+        return out.astype(dt)
 
     return emap(rs, x)
 

@@ -112,6 +112,8 @@ def build_argparser():
     p.add_argument("--half", action="store_true")
     p.add_argument("--out", type=str, default="",
                    help="json file for detection dump")
+    p.add_argument("--output-dir", type=str, default="",
+                   help="write detection/grid visualization overlays")
     p.add_argument("--timings", type=int, default=0)
     add_argparser_arguments(p)
     p.set_defaults(block_policy="rl_objectdetection", block_num_classes=1,
@@ -175,11 +177,15 @@ def main(argv=None):
         start = time.perf_counter()
         for clip, _, meta in iter(loader):
             model.reset_temporal()
-            for frame in clip:
+            for frame_id, frame in enumerate(clip):
                 arr = jnp.asarray(np.asarray(frame, np.float32)[None], dtype)
                 num_images += 1
                 bbox_results = model.simple_test(arr,
                                                  img_shape=meta["img_shape"])
+                if args.output_dir and phase == "eval":
+                    _dump_viz(args, phase, meta, frame_id,
+                              np.asarray(frame, np.float32), bbox_results,
+                              model)
             if phase == "eval":
                 detections.extend(
                     bbox_results_to_coco([bbox_results[0] if isinstance(
@@ -213,6 +219,39 @@ def main(argv=None):
         logger.info("%s", timings)
     print(json.dumps(results))
     return results
+
+
+def _dump_viz(args, phase, meta, frame_id, frame, bbox_results, model):
+    """Detections + exec-grid overlays (reference
+    ``test_city_person.py:64-117``), written with PIL."""
+    from PIL import Image, ImageDraw
+    from blockcopy_tpu.tasks.detection.dataset import IMG_MEAN, IMG_STD
+
+    out_dir = os.path.join(args.output_dir, phase)
+    os.makedirs(out_dir, exist_ok=True)
+    img = np.clip(frame * IMG_STD + IMG_MEAN, 0, 255).astype(np.uint8)
+    pil = Image.fromarray(img)
+    draw = ImageDraw.Draw(pil)
+    for arr in bbox_results:
+        for x1, y1, x2, y2, score in np.asarray(arr):
+            if score < 0.3:
+                continue
+            draw.rectangle([x1, y1, x2, y2], outline=(255, 40, 40), width=3)
+            draw.text((x1 + 2, y1 + 2), f"{score:.2f}", fill=(255, 240, 0))
+    if "grid" in model.policy_meta:
+        grid = np.asarray(model.policy_meta["grid"])[0]
+        gh, gw = grid.shape
+        bh, bw = img.shape[0] // gh, img.shape[1] // gw
+        overlay = np.asarray(pil).astype(np.float32)
+        tint = np.where(
+            np.kron(grid, np.ones((bh, bw)))[..., None] > 0,
+            np.array([40.0, 160.0, 40.0]), np.array([100.0, 40.0, 140.0]),
+        )
+        overlay = 0.75 * overlay + 0.25 * tint
+        pil = Image.fromarray(np.clip(overlay, 0, 255).astype(np.uint8))
+    name = meta["file_name"].replace("/", "-").rsplit(".", 1)[0]
+    pil.resize((1024, 512)).save(
+        os.path.join(out_dir, f"{name}_{frame_id}_dets.jpg"))
 
 
 if __name__ == "__main__":
