@@ -38,9 +38,21 @@ import jax.numpy as jnp
 
 from blockcopy_tpu.core import grid as gridlib
 
-# Halo-exchange lowering: 'xla' (gather/concat) or 'pallas' (fused DMA
-# kernel, ops/pallas/halo.py).  Both share the same interface and tests.
-HALO_IMPL = os.environ.get("BLOCKCOPY_TPU_HALO", "xla")
+# Halo-exchange lowering:
+#   'full' (default): full-feature canvas + center-bypassed strided-slice
+#       gathers.  Measured on v5e: within noise of the zero-halo upper bound
+#       (1506 vs 1510 FPS on the SwiftNet-RN50 headline) — the exchange is
+#       effectively free.
+#   'strips': persist ONLY the 4 edge strips of every block.  The halo never
+#       reads block interiors (centers are bypassed; neighbors contribute
+#       edges only), so strip storage cuts per-layer memory and scatter
+#       traffic by bs/(4p) (8-32x) — generalizing the reference transfer
+#       kernel's halo-only fast path (``utils/block_funcs.py:218-224``),
+#       which still stored full features.  Tradeoff: the narrow lane-dim
+#       concats cost ~35% step time on v5e; use when HBM is the constraint
+#       (very large batches of clips).
+#   'pallas': fused DMA kernel over the full canvas (ops/pallas/halo.py).
+HALO_IMPL = os.environ.get("BLOCKCOPY_TPU_HALO", "full")
 
 __all__ = [
     "BlockPack",
@@ -201,6 +213,55 @@ def halo_gather(
     return jnp.concatenate([row_top, row_mid, row_bot], axis=1)
 
 
+def alloc_strip_canvas(n: int, gh: int, gw: int, bs: int, c: int, p: int,
+                       dtype) -> Dict[str, jax.Array]:
+    """Edge-strip storage for a halo site: rows holds [top p; bottom p] of
+    every block, cols holds [left p; right p]; +1 zero sentinel row each."""
+    total = n * gh * gw
+    return {
+        "rows": jnp.zeros((total + 1, 2 * p, bs, c), dtype),
+        "cols": jnp.zeros((total + 1, bs, 2 * p, c), dtype),
+    }
+
+
+def scatter_strips(strips: Dict[str, jax.Array], pack: BlockPack,
+                   p: int) -> Dict[str, jax.Array]:
+    d = pack.data.astype(strips["rows"].dtype)
+    rows = jnp.concatenate([d[:, :p], d[:, -p:]], axis=1)
+    cols = jnp.concatenate([d[:, :, :p], d[:, :, -p:]], axis=2)
+    new_rows = strips["rows"].at[pack.idx].set(rows, mode="drop").at[-1].set(0.0)
+    new_cols = strips["cols"].at[pack.idx].set(cols, mode="drop").at[-1].set(0.0)
+    return {"rows": new_rows, "cols": new_cols}
+
+
+def halo_gather_strips(strips: Dict[str, jax.Array], pack_idx: jax.Array,
+                       pad: int, n: int, gh: int, gw: int,
+                       center: jax.Array) -> jax.Array:
+    """Assemble (K, bs+2p, bs+2p, C) padded blocks from edge-strip storage.
+    Semantics identical to ``halo_gather`` over a full canvas."""
+    p = pad
+    rows, cols = strips["rows"], strips["cols"]
+    sp = rows.shape[1] // 2  # stored strip width (== site's pad)
+    assert sp == p, (sp, p)
+    nbr = gridlib.neighbor_indices(pack_idx, n, gh, gw)
+    tl, t, tr, l, r, bl, b, br = (nbr[:, i] for i in range(8))
+
+    take = lambda src, i: jnp.take(src, i, axis=0, mode="clip")
+    top = take(rows[:, p:], t)            # neighbor-above's bottom rows
+    bottom = take(rows[:, :p], b)         # neighbor-below's top rows
+    left = take(cols[:, :, p:], l)        # left neighbor's right cols
+    right = take(cols[:, :, :p], r)       # right neighbor's left cols
+    top_left = take(rows[:, p:, -p:], tl)
+    top_right = take(rows[:, p:, :p], tr)
+    bottom_left = take(rows[:, :p, -p:], bl)
+    bottom_right = take(rows[:, :p, :p], br)
+
+    row_top = jnp.concatenate([top_left, top, top_right], axis=2)
+    row_mid = jnp.concatenate([left, center, right], axis=2)
+    row_bot = jnp.concatenate([bottom_left, bottom, bottom_right], axis=2)
+    return jnp.concatenate([row_top, row_mid, row_bot], axis=1)
+
+
 @dataclasses.dataclass
 class ExecCtx:
     """Trace-time execution context threaded through a blocked model.
@@ -273,9 +334,30 @@ class ExecCtx:
             )
         return self.canvases[name]
 
+    def strip_canvas_for(self, name: str, like: BlockPack,
+                         pad: int) -> Dict[str, jax.Array]:
+        if name not in self.canvases:
+            if not self.building:
+                raise KeyError(
+                    f"no canvas for layer '{name}'; temporal state was not "
+                    f"initialized for this model (did the op sequence change?)"
+                )
+            self.canvases[name] = alloc_strip_canvas(
+                self.n, self.gh, self.gw, like.block_size, like.channels,
+                pad, like.data.dtype,
+            )
+        return self.canvases[name]
+
     def exchange(self, name: str, x: BlockPack, pad: int) -> jax.Array:
-        """Scatter current blocks into the named canvas, return halo-padded
-        blocks ``(K, bs+2p, bs+2p, C)``."""
+        """Scatter current blocks' halo-relevant state into the named canvas,
+        return halo-padded blocks ``(K, bs+2p, bs+2p, C)``."""
+        if HALO_IMPL == "strips":
+            strips = self.strip_canvas_for(name, x, pad)
+            strips = scatter_strips(strips, x, pad)
+            self.canvases[name] = strips
+            return halo_gather_strips(strips, x.idx, pad, self.n, self.gh,
+                                      self.gw, x.data.astype(
+                                          strips["rows"].dtype))
         canvas = self.canvas_for(name, x)
         canvas = scatter_pack(canvas, x)
         self.canvases[name] = canvas
