@@ -218,7 +218,8 @@ class BlockCopyModel:
                 )
                 meta["frame_state"] = frame_state
             self.flops.record_frame(
-                capacity, policy_ran=meta.get("_rl_cache") is not None
+                capacity, policy_ran=meta.get("_rl_cache") is not None,
+                images=inputs.shape[0],
             )
 
             meta["outputs_prev"] = meta["outputs"]

@@ -425,7 +425,8 @@ class CSPBlockCopy:
                 out = dets_to_bbox_results(dets, labels, valid,
                                            self.cfg.num_classes)
             self.flops.record_frame(capacity,
-                                    meta.get("_rl_cache") is not None)
+                                    meta.get("_rl_cache") is not None,
+                                    images=img.shape[0])
             meta["outputs_prev"] = meta["outputs"]
             meta["outputs"] = out
 

@@ -208,6 +208,7 @@ def main(argv=None):
     )
 
     def process_clip(clip, meta, phase):
+        """clip: list over time of (B, H, W, 3) numpy frames."""
         if model is not None:
             model.reset_temporal()
         if stepper_state:
@@ -215,9 +216,9 @@ def main(argv=None):
                 stepper_state["state"])
         preds = None
         for frame_id, frame in enumerate(clip):
-            arr = np.asarray(frame, np.float32)[None]  # (1, H, W, 3)
+            arr = np.asarray(frame, np.float32)
             inputs = jnp.asarray(arr, dtype)
-            timings.add_count(1)
+            timings.add_count(arr.shape[0])
             with timings.env("process_clip/model", 2):
                 if stepper_state:
                     fn = stepper_state["first"] if frame_id == 0 else \
@@ -250,16 +251,45 @@ def main(argv=None):
         start = time.perf_counter()
         num_images = 0
         cached = None
-        for i, (clip, target, meta) in enumerate(iter(loader)):
+
+        def batched(it, bsize):
+            """Group consecutive clips into time-major batches
+            (the torch DataLoader's collate, reference
+            ``test_swiftnet.py:70-80``)."""
+            group = []
+            for item in it:
+                group.append(item)
+                if len(group) == bsize:
+                    yield _collate(group)
+                    group = []
+            if group and bsize == 1:
+                yield _collate(group)
+            # partial batches are dropped for bsize>1: temporal state and
+            # compiled programs are shape-static per batch size
+
+        def _collate(group):
+            clips = [g[0] for g in group]
+            t_len = len(clips[0])
+            clip_b = [np.stack([np.asarray(c[t], np.float32) for c in clips])
+                      for t in range(t_len)]
+            targets = [g[1] for g in group]
+            target_b = (np.stack(targets)
+                        if not any(isinstance(t, int) for t in targets)
+                        else 0)
+            return clip_b, target_b, group[0][2]
+
+        for i, (clip, target, meta) in enumerate(
+            batched(iter(loader), args.batch_size)
+        ):
             if args.single_clip_loop:
                 if cached is None:
                     cached = (clip, target, meta)
                 clip, target, meta = cached
-            num_images += len(clip)
+            num_images += len(clip) * clip[0].shape[0]
             with timings.env("process_dataset/process_clip", 1):
                 preds = process_clip(clip, meta, phase)
             if has_labels and not args.fast and not isinstance(target, int):
-                metrics.update(np.asarray(target)[None], np.asarray(preds))
+                metrics.update(np.asarray(target), np.asarray(preds))
         jax.block_until_ready(preds)
         stop = time.perf_counter()
 

@@ -52,26 +52,33 @@ class FlopsTracker:
     def __init__(self, policy_macs_per_frame: float = 0.0):
         self.macs_per_capacity = {}
         self.frames = []
+        self.images = 0
         self.policy_macs = policy_macs_per_frame
         self.policy_frames = 0
 
     def record_trace(self, capacity: int, macs: float):
         self.macs_per_capacity[capacity] = macs
 
-    def record_frame(self, capacity: int, policy_ran: bool):
+    def record_frame(self, capacity: int, policy_ran: bool,
+                     images: int = 1):
         self.frames.append(capacity)
+        self.images += images
         if policy_ran:
-            self.policy_frames += 1
+            # policy net runs batched: count per image
+            self.policy_frames += images
 
     def reset_frames(self):
         self.frames = []
         self.policy_frames = 0
+        self.images = 0
 
     def average_macs(self) -> float:
-        if not self.frames:
+        """Average MACs per *image* (a batched step's cost spreads over its
+        batch, like the reference's per-image GMACs reporting)."""
+        if not self.images:
             return 0.0
         model = sum(self.macs_per_capacity.get(c, 0.0) for c in self.frames)
-        return (model + self.policy_macs * self.policy_frames) / len(self.frames)
+        return (model + self.policy_macs * self.policy_frames) / self.images
 
     def average_gmacs(self) -> float:
         return self.average_macs() / 1e9
