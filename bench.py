@@ -26,6 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--target", type=float, default=0.5)
     ap.add_argument("--frames", type=int, default=40)
@@ -39,9 +40,9 @@ def main():
     )
 
     dtype = jnp.dtype(args.dtype)
-    frame_shape = (1, args.height, args.width, 3)
+    frame_shape = (args.batch, args.height, args.width, 3)
     gh, gw = args.height // 128, args.width // 128
-    total = gh * gw
+    total = args.batch * gh * gw
     capacity = max(1, int(round(args.target * total)))
 
     cfg = SwiftNetConfig(backbone=args.backbone, num_classes=19)
@@ -64,6 +65,8 @@ def main():
         f[:, s : s + 160, s : s + 160] += 2.0
         return jnp.asarray(f, dtype)
 
+    images_per_step = args.batch
+
     # warmup: compile + let the policy settle
     state = first(params, state, frame(0))
     for t in range(1, args.warmup + 1):
@@ -76,15 +79,23 @@ def main():
     n_unique = 8
     staged = [jax.device_put(frame(args.warmup + 1 + i))
               for i in range(n_unique)]
-    jax.block_until_ready(staged)
 
+    def fence(s):
+        # On the axon relay, block_until_ready returns before execution
+        # completes; fetching a value is the only true fence.
+        return float(jnp.sum(s["outputs"].astype(jnp.float32)))
+
+    fence(state)
+
+    # timed region, fenced by an actual device->host read of the result
     t0 = time.perf_counter()
     for t in range(args.frames):
         state = step(params, state, staged[t % n_unique])
-    jax.block_until_ready(state)
+    checksum = fence(state)
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
-    fps = args.frames / dt
+    fps = args.frames * images_per_step / dt
     print(json.dumps({
         "metric": "swiftnet_rn50_blockcopy_fps_1024x2048",
         "value": round(fps, 3),

@@ -39,20 +39,17 @@ import jax.numpy as jnp
 from blockcopy_tpu.core import grid as gridlib
 
 # Halo-exchange lowering:
-#   'full' (default): full-feature canvas + center-bypassed strided-slice
-#       gathers.  Measured on v5e: within noise of the zero-halo upper bound
-#       (1506 vs 1510 FPS on the SwiftNet-RN50 headline) — the exchange is
-#       effectively free.
-#   'strips': persist ONLY the 4 edge strips of every block.  The halo never
-#       reads block interiors (centers are bypassed; neighbors contribute
-#       edges only), so strip storage cuts per-layer memory and scatter
-#       traffic by bs/(4p) (8-32x) — generalizing the reference transfer
-#       kernel's halo-only fast path (``utils/block_funcs.py:218-224``),
-#       which still stored full features.  Tradeoff: the narrow lane-dim
-#       concats cost ~35% step time on v5e; use when HBM is the constraint
-#       (very large batches of clips).
+#   'strips' (default): persist ONLY the 4 edge strips of every block.  The
+#       halo never reads block interiors (centers are bypassed; neighbors
+#       contribute edges only), so strip storage cuts per-layer halo memory
+#       and scatter traffic by bs/(4p) (8-32x) — generalizing the reference
+#       transfer kernel's halo-only fast path
+#       (``utils/block_funcs.py:218-224``), which still stored full
+#       features.  Fastest on v5e (SwiftNet-RN50 headline: 127 FPS vs 97
+#       for 'full'; properly fenced measurements).
+#   'full': full-feature canvas + center-bypassed strided-slice gathers.
 #   'pallas': fused DMA kernel over the full canvas (ops/pallas/halo.py).
-HALO_IMPL = os.environ.get("BLOCKCOPY_TPU_HALO", "full")
+HALO_IMPL = os.environ.get("BLOCKCOPY_TPU_HALO", "strips")
 
 __all__ = [
     "BlockPack",

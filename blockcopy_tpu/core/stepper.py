@@ -21,7 +21,6 @@ reference's ``BlockCopyModel`` attributes + ``policy_meta`` dict +
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 from collections import namedtuple
-from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -17,7 +17,7 @@ BatchNorm is inference-mode and stored pre-folded as (scale, bias) — see
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

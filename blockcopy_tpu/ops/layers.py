@@ -28,7 +28,6 @@ the MXU via ``lax.conv_general_dilated``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Union
 
 import jax

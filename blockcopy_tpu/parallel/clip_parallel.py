@@ -17,8 +17,6 @@ participation after dispatch.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

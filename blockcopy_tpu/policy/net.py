@@ -15,7 +15,7 @@ runs in float32 while the task model runs bfloat16 (reference precedent:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ policy.py``) redesigned for the TPU execution model:
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

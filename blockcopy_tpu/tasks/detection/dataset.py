@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from typing import Optional
 
 import numpy as np
 from PIL import Image

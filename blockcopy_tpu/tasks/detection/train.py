@@ -13,7 +13,6 @@ steps [110, 160], warmup 500 iters at 1/3).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

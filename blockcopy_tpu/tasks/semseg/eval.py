@@ -16,7 +16,6 @@ import json
 import logging
 import os
 import os.path as osp
-import sys
 import time
 
 import jax
@@ -290,7 +289,9 @@ def main(argv=None):
                 preds = process_clip(clip, meta, phase)
             if has_labels and not args.fast and not isinstance(target, int):
                 metrics.update(np.asarray(target), np.asarray(preds))
-        jax.block_until_ready(preds)
+        # fence with a real device->host read (block_until_ready can return
+        # early on relay backends)
+        float(jnp.sum(preds))
         stop = time.perf_counter()
 
         logger.info("Number of images: %d", num_images)

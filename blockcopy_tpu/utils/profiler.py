@@ -49,8 +49,10 @@ class Timings:
 
     @staticmethod
     def _sync():
+        # A device->host read is the only reliable fence on remote/relay
+        # backends (block_until_ready can return before execution there).
         try:
-            (jax.device_put(0.0) + 0).block_until_ready()
+            float(jax.device_put(0.0) + 0)
         except Exception:
             pass
 
