@@ -223,7 +223,8 @@ def main(argv=None):
                 arr = None
             else:
                 arr = np.asarray(frame, np.float32)
-                inputs = jnp.asarray(arr, dtype)
+                # cast on the host so the device upload is half-width
+                inputs = jax.device_put(arr.astype(dtype))
                 if args.single_clip_loop:
                     staged_clip[frame_id] = inputs
             timings.add_count(inputs.shape[0])
