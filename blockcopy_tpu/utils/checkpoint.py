@@ -15,6 +15,7 @@ Two formats:
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict
 
 import jax
@@ -158,6 +159,25 @@ def load_npz(path: str, like, dtype=None) -> Dict:
         return arr.astype(dtype) if dtype is not None else arr
 
     return rebuild(like)
+
+
+# -- orbax backend (sharded/async checkpoints for mesh-scale state) ----------
+
+
+def save_orbax(path: str, tree) -> None:
+    """Orbax checkpoint (for sharded multi-device state pytrees — e.g. the
+    clip-parallel stepper state — where npz would force a host gather)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_orbax(path: str, like) -> Dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)
 
 
 def load_params(path: str, cfg, dtype=jnp.float32) -> Dict:
