@@ -73,6 +73,8 @@ def csp_config_from_dict(cfg: Dict) -> CSPConfig:
         kwargs["score_thr"] = test["score_thr"]
     if isinstance(test.get("nms"), dict) and "iou_thr" in test["nms"]:
         kwargs["nms_iou"] = test["nms"]["iou_thr"]
+        if "type" in test["nms"]:
+            kwargs["nms_type"] = test["nms"]["type"]
     if "max_per_img" in test:
         kwargs["max_per_img"] = test["max_per_img"]
     return CSPConfig(**kwargs)

@@ -59,6 +59,7 @@ class CSPConfig:
     nms_pre: int = 1000
     score_thr: float = 0.1
     nms_iou: float = 0.5
+    nms_type: str = "nms"  # 'nms' (on-device) | 'soft_nms' (host rescoring)
     max_per_img: int = 100
 
     @property
@@ -304,6 +305,30 @@ def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
                                 cfg.max_per_img)
 
 
+def soft_nms_rescore(dets, labels, valid, cfg: CSPConfig):
+    """Host-side soft-NMS over the fixed-size decode output (reference
+    capability: ``soft_nms_cpu.pyx``; config ``nms=dict(type='soft_nms')``).
+    Returns rescored fixed-size (dets, labels, valid)."""
+    from blockcopy_tpu.ops.nms import soft_nms_numpy
+
+    dets = np.asarray(dets)
+    labels = np.asarray(labels)
+    valid = np.asarray(valid)
+    cand_idx = np.nonzero(valid)[0]
+    if len(cand_idx) == 0:
+        return dets, labels, valid
+    kept_dets, kept_orig = soft_nms_numpy(dets[cand_idx],
+                                          iou_thr=cfg.nms_iou)
+    out = np.zeros_like(dets)
+    new_labels = np.zeros_like(labels)
+    new_valid = np.zeros(len(dets), bool)
+    k = min(len(kept_dets), len(dets))
+    out[:k] = kept_dets[:k]
+    new_labels[:k] = labels[cand_idx[kept_orig[:k]]]
+    new_valid[:k] = True
+    return out, new_labels, new_valid
+
+
 def dets_to_bbox_results(dets, labels, valid, num_classes: int
                          ) -> List[List[np.ndarray]]:
     """Fixed-size device dets -> mmdet ``bbox2result`` numpy lists
@@ -422,6 +447,9 @@ class CSPBlockCopy:
                 dets, labels, valid = csp_decode(
                     cls_s, bbox_p, off_p, img_shape, self.cfg, rescale_factor
                 )
+                if self.cfg.nms_type == "soft_nms":
+                    dets, labels, valid = soft_nms_rescore(
+                        dets, labels, valid, self.cfg)
                 out = dets_to_bbox_results(dets, labels, valid,
                                            self.cfg.num_classes)
             self.flops.record_frame(capacity,

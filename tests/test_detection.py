@@ -178,3 +178,30 @@ class TestCSPBlockCopyEngine:
         assert out[0].ndim == 2 and out[0].shape[1] == 5
         assert model.flops.average_gmacs() > 0
         assert model.policy.running_cost is not None
+
+
+class TestSoftNMSPath:
+    def test_soft_nms_rescore_fixed_shapes(self):
+        import jax.numpy as jnp
+        from blockcopy_tpu.models.csp import soft_nms_rescore
+        cfg = CSPConfig(nms_type="soft_nms", max_per_img=6)
+        dets = jnp.array(
+            [[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],
+             [50, 50, 60, 60, 0.7], [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+             [0, 0, 0, 0, 0]], jnp.float32)
+        labels = jnp.zeros((6,), jnp.int32)
+        valid = jnp.array([True, True, True, False, False, False])
+        d2, l2, v2 = soft_nms_rescore(dets, labels, valid, cfg)
+        assert d2.shape == (6, 5) and v2.sum() >= 2
+        assert d2[0, 4] == pytest.approx(0.9)      # top box untouched
+        kept_scores = d2[v2][:, 4]
+        assert (kept_scores[:-1] >= kept_scores[1:]).all()
+
+    def test_builder_reads_nms_type(self, tmp_path):
+        from blockcopy_tpu.models.builder import csp_config_from_dict
+        cfg = {
+            "model": {"type": "CSPBlockCopy"},
+            "test_cfg": {"nms": {"type": "soft_nms", "iou_thr": 0.4}},
+        }
+        c = csp_config_from_dict(cfg)
+        assert c.nms_type == "soft_nms" and c.nms_iou == 0.4
