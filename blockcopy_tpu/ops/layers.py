@@ -47,6 +47,12 @@ DIMNUMS = ("NHWC", "HWIO", "NHWC")
 import os as _os
 BLOCKPAD_WITH_ZEROES = _os.environ.get("BLOCKCOPY_TPU_ZERO_HALO", "0") == "1"
 
+# Experimental lowering: run blocked 3x3 stride-1 convs on tiny blocks as one
+# tall conv over the blocks stacked along H (garbage boundary rows discarded
+# by a row gather).  Helps when per-block spatial dims are too small for the
+# MXU tiler; A/B via full-program bench.
+TALL_CONV_MAX_BS = int(_os.environ.get("BLOCKCOPY_TPU_TALL_CONV_BS", "0"))
+
 
 def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:
     return jnp.pad(data, ((0, 0), (p, p), (p, p), (0, 0)))
@@ -121,7 +127,20 @@ def conv2d(
                 data = _zero_pad_blocks(x.data, p)
             else:
                 data = ctx.exchange(name, x, p)
-            out = x.with_data(run(data, "VALID"))
+            bs_out = (x.data.shape[1] + 2 * p - d * (kh - 1) - 1) // s + 1
+            if (TALL_CONV_MAX_BS and s == 1 and bs_out <= TALL_CONV_MAX_BS
+                    and data.shape[1] == data.shape[2]):
+                k_blk, hp, wp, c = data.shape
+                tallin = data.reshape(1, k_blk * hp, wp, c)
+                o = run(tallin, "VALID")  # (1, K*hp - (hp-bs_out), ...)
+                o = o.reshape(-1, o.shape[2], o.shape[3])
+                rows = (jnp.arange(k_blk)[:, None] * hp
+                        + jnp.arange(bs_out)[None, :]).reshape(-1)
+                o = jnp.take(o, rows, axis=0)
+                out = x.with_data(
+                    o.reshape(k_blk, bs_out, o.shape[1], o.shape[2]))
+            else:
+                out = x.with_data(run(data, "VALID"))
         else:
             out = x.with_data(run(x.data, "VALID"))
         ctx.add_macs(float(np.prod(out.data.shape)) * cin * kh * kw)
