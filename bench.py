@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--target", type=float, default=0.5)
-    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     args = ap.parse_args()
