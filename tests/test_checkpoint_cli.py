@@ -168,3 +168,19 @@ class TestCLI:
         ])
         assert 0.0 < results["perc_exec"] <= 1.0
         assert results["gmacs_per_image"] > 0
+
+
+class TestOrbax:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from blockcopy_tpu.utils.checkpoint import load_orbax, save_orbax
+
+        tree = {"a": jnp.arange(10.0), "b": {"c": jnp.ones((3, 4))}}
+        p = str(tmp_path / "ckpt")
+        save_orbax(p, tree)
+        back = load_orbax(p, jax.tree.map(jnp.zeros_like, tree))
+        np.testing.assert_array_equal(np.asarray(back["a"]),
+                                      np.arange(10.0))
+        np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
+                                      np.ones((3, 4)))
