@@ -285,11 +285,13 @@ class ExecCtx:
     canvases: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
     # When True, canvases are created on the fly (shape-inference pass).
     building: bool = False
-    # Trace-time multiply-accumulate counter (shared mutable cell so dense
-    # sub-contexts attribute to the same tally).  Replaces the reference's
-    # hook-based flops counters (ptflops / Pedestron tools/flopscounter.py):
-    # shapes are static under jit, so the count is exact and free.
-    macs: list = dataclasses.field(default_factory=lambda: [0.0])
+    # Trace-time multiply-accumulate tally keyed by layer name (shared
+    # mutable dict so dense sub-contexts attribute to the same tally).
+    # Replaces the reference's hook-based flops counters (ptflops /
+    # Pedestron tools/flopscounter.py, whose per-submodule cost tree is
+    # reproduced by ``macs_by_module``): shapes are static under jit, so
+    # the count is exact and free.
+    macs: Dict[str, float] = dataclasses.field(default_factory=dict)
 
     @classmethod
     def dense(cls) -> "ExecCtx":
@@ -300,12 +302,22 @@ class ExecCtx:
         ``noblocks`` interiors such as SPP)."""
         return dataclasses.replace(self, mode="dense")
 
-    def add_macs(self, count: float) -> None:
-        self.macs[0] += float(count)
+    def add_macs(self, count: float, name: str = "") -> None:
+        self.macs[name] = self.macs.get(name, 0.0) + float(count)
 
     @property
     def total_macs(self) -> float:
-        return self.macs[0]
+        return sum(self.macs.values())
+
+    def macs_by_module(self) -> Dict[str, float]:
+        """Tally grouped by top-level module (first dot-segment of the layer
+        name) — the shape of the reference's per-submodule cost tree
+        (``Pedestron/tools/flopscounter.py:176-220``)."""
+        out: Dict[str, float] = {}
+        for name, v in self.macs.items():
+            key = name.split(".", 1)[0] if name else "other"
+            out[key] = out.get(key, 0.0) + v
+        return out
 
     @classmethod
     def blocked(cls, idx, n, gh, gw, canvases, building=False) -> "ExecCtx":

@@ -149,7 +149,7 @@ class BlockCopyModel:
             out = self.apply_fn(params, pack, ctx)
             outputs = ctx.store_dense(OUT, out)
             # trace-time: exact MACs of this capacity's program
-            self.flops.record_trace(capacity, ctx.total_macs)
+            self.flops.record_trace(capacity, ctx.macs_by_module())
             return {"canvases": ctx.canvases}, outputs, frame_state
 
         self._steps[capacity] = model_step

@@ -135,6 +135,12 @@ class FixedCapacityStepper:
     def macs_per_step(self, model_params, policy: bool = True) -> float:
         """Exact model MACs of one steady-state step (capacity blocks), plus
         the policy-net cost; counted at trace time (shapes are static)."""
+        return sum(self.macs_breakdown_per_step(model_params, policy).values())
+
+    def macs_breakdown_per_step(self, model_params,
+                                policy: bool = True) -> Dict[str, float]:
+        """Per-module MACs of one steady-state step (reference analogue:
+        the flops-counter's per-submodule tree, ``Pedestron/README.md:51-62``)."""
         from blockcopy_tpu.utils.flops import policy_net_macs
 
         n, gh, gw = self.geom
@@ -147,17 +153,17 @@ class FixedCapacityStepper:
             ctx.store_dense(FRAME_STATE, pack)
             out = self.apply_fn(model_params, pack, ctx)
             dense = ctx.store_dense(OUT, out)
-            box["macs"] = ctx.total_macs
+            box["by_module"] = ctx.macs_by_module()
             return dense
 
         jax.eval_shape(f, jax.ShapeDtypeStruct(self.frame_shape, self.dtype))
-        macs = box["macs"]
+        breakdown = dict(box["by_module"])
         if policy:
             _, h, w, _ = self.frame_shape
             scale = 0.25 * 128 / self.cfg.block_size
-            macs += policy_net_macs(int(h * scale), int(w * scale),
-                                    self.cfg.num_classes)
-        return macs
+            breakdown["policy"] = policy_net_macs(
+                int(h * scale), int(w * scale), self.cfg.num_classes)
+        return breakdown
 
     def reset_temporal(self, state: Dict) -> Dict:
         """New clip: reset the frame counter (canvases are fully overwritten

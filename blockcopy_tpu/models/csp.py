@@ -412,7 +412,7 @@ class CSPBlockCopy:
             ctx = ExecCtx.blocked(idx, n, gh, gw, temporal["canvases"])
             frame_state = ctx.store_dense("__frame_state__", pack)
             cls_s, bbox_p, off_p = csp_apply(params, pack, ctx, self.cfg)
-            self.flops.record_trace(capacity, ctx.total_macs)
+            self.flops.record_trace(capacity, ctx.macs_by_module())
             return ({"canvases": ctx.canvases}, cls_s, bbox_p, off_p,
                     frame_state)
 

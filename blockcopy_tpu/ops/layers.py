@@ -143,11 +143,11 @@ def conv2d(
                 out = x.with_data(run(data, "VALID"))
         else:
             out = x.with_data(run(x.data, "VALID"))
-        ctx.add_macs(float(np.prod(out.data.shape)) * cin * kh * kw)
+        ctx.add_macs(float(np.prod(out.data.shape)) * cin * kh * kw, name)
         return out
     data = _data(x)
     out = _rewrap(x, run(data, [(p, p), (p, p)]))
-    ctx.add_macs(float(np.prod(_data(out).shape)) * cin * kh * kw)
+    ctx.add_macs(float(np.prod(_data(out).shape)) * cin * kh * kw, name)
     return out
 
 
@@ -190,7 +190,7 @@ def conv_transpose2d(
     out = _rewrap(x, run(_data(x)))
     kh, kw, cin = w.shape[0], w.shape[1], w.shape[2]
     ctx.add_macs(float(np.prod(_data(out).shape)) * cin * kh * kw
-                 / (stride * stride))
+                 / (stride * stride), name)
     return out
 
 

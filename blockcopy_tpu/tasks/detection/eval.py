@@ -208,13 +208,17 @@ def main(argv=None):
     mrs = evaluator.evaluate(dets)
     results = {f"MR_{k}": v for k, v in mrs.items()}
     results["fps"] = num_images / elapsed
+    from blockcopy_tpu.utils.flops import format_gmacs_breakdown
+    breakdown = model.flops.average_macs_by_module()
     results["gmacs_per_image"] = model.flops.average_gmacs()
+    results["gmacs_breakdown"] = {k: v / 1e9 for k, v in breakdown.items()}
     results["perc_exec"] = model.policy.stats.get_exec_percentage()
     for k in SETUP_LABELS:
         logger.info("Average Miss Rate (MR) %-22s = %.2f%%", k,
                     mrs[k])
-    logger.info("Computational cost (avg per img): %.3f GMACs",
-                results["gmacs_per_image"])
+    # per-module cost tree, the reference's reported breakdown shape
+    # (Pedestron/README.md:51-62: backbone + neck + bbox_head + policy)
+    logger.info("%s", format_gmacs_breakdown(breakdown))
     if args.timings:
         logger.info("%s", timings)
     print(json.dumps(results))

@@ -318,19 +318,39 @@ def main(argv=None):
                      if k != "Class IoU"}
                 )
             logger.info("Average FPS: %.2f", fps)
+            from blockcopy_tpu.utils.flops import format_gmacs_breakdown
             if model is not None:
-                gmacs = model.flops.average_gmacs()
-                logger.info("Computational cost (avg per img): %.3f GMACs",
-                            gmacs)
-                results["gmacs_per_image"] = gmacs
+                breakdown = model.flops.average_macs_by_module()
+                logger.info("%s", format_gmacs_breakdown(breakdown))
+                results["gmacs_per_image"] = model.flops.average_gmacs()
+                results["gmacs_breakdown"] = {
+                    k: v / 1e9 for k, v in breakdown.items()}
                 logger.info("%s", model.policy.stats)
                 results["perc_exec"] = model.policy.stats.get_exec_percentage()
             elif stepper_state:
                 st = stepper_state["stepper"]
-                results["gmacs_per_image"] = st.macs_per_step(params) / 1e9
+                breakdown = st.macs_breakdown_per_step(params)
+                logger.info("%s", format_gmacs_breakdown(breakdown))
+                results["gmacs_per_image"] = sum(breakdown.values()) / 1e9
+                results["gmacs_breakdown"] = {
+                    k: v / 1e9 for k, v in breakdown.items()}
                 results["perc_exec"] = st.capacity / st.total
                 results["running_cost"] = float(
                     stepper_state["state"]["policy"]["running_cost"])
+            else:
+                # static baseline cost (reference prints GMACs for the
+                # static run too, test_swiftnet.py:240-244): exact dense
+                # MACs from a trace of the same model code
+                dense_ctx = ExecCtx.dense()
+                jax.eval_shape(
+                    lambda x: swiftnet_apply(params, x, dense_ctx, cfg),
+                    jax.ShapeDtypeStruct(
+                        (1, args.res, args.res * 2, 3), dtype))
+                breakdown = dense_ctx.macs_by_module()
+                logger.info("%s", format_gmacs_breakdown(breakdown))
+                results["gmacs_per_image"] = sum(breakdown.values()) / 1e9
+                results["gmacs_breakdown"] = {
+                    k: v / 1e9 for k, v in breakdown.items()}
             if args.timings:
                 logger.info("%s", timings)
             return results

@@ -50,13 +50,17 @@ class FlopsTracker:
     """
 
     def __init__(self, policy_macs_per_frame: float = 0.0):
-        self.macs_per_capacity = {}
+        self.macs_per_capacity = {}      # capacity -> {module: macs}
         self.frames = []
         self.images = 0
         self.policy_macs = policy_macs_per_frame
         self.policy_frames = 0
 
-    def record_trace(self, capacity: int, macs: float):
+    def record_trace(self, capacity: int, macs):
+        """``macs``: per-module dict (``ExecCtx.macs_by_module()``) or a
+        plain float (stored under module '')."""
+        if not isinstance(macs, dict):
+            macs = {"": float(macs)}
         self.macs_per_capacity[capacity] = macs
 
     def record_frame(self, capacity: int, policy_ran: bool,
@@ -72,13 +76,35 @@ class FlopsTracker:
         self.policy_frames = 0
         self.images = 0
 
+    def average_macs_by_module(self) -> dict:
+        """Average MACs per *image*, split per top-level module plus the
+        policy net — reproducing the reference's reported cost breakdown
+        (``Pedestron/README.md:51-62``: backbone + neck + head + policy)."""
+        if not self.images:
+            return {}
+        acc: dict = {}
+        for c in self.frames:
+            for mod, m in self.macs_per_capacity.get(c, {}).items():
+                acc[mod] = acc.get(mod, 0.0) + m
+        if self.policy_frames:
+            acc["policy"] = self.policy_macs * self.policy_frames
+        return {k: v / self.images for k, v in acc.items()}
+
     def average_macs(self) -> float:
         """Average MACs per *image* (a batched step's cost spreads over its
         batch, like the reference's per-image GMACs reporting)."""
-        if not self.images:
-            return 0.0
-        model = sum(self.macs_per_capacity.get(c, 0.0) for c in self.frames)
-        return (model + self.policy_macs * self.policy_frames) / self.images
+        return sum(self.average_macs_by_module().values())
 
     def average_gmacs(self) -> float:
         return self.average_macs() / 1e9
+
+
+def format_gmacs_breakdown(by_module: dict, images_note: str = "") -> str:
+    """Render a per-module GMACs table in the shape of the reference's
+    flops-counter output (``tools/flopscounter.py:176-220``)."""
+    total = sum(by_module.values())
+    lines = [f"GMACs per image{images_note}: {total / 1e9:.3f}"]
+    for mod, m in sorted(by_module.items(), key=lambda kv: -kv[1]):
+        pct = 100.0 * m / total if total else 0.0
+        lines.append(f"  {mod:<12s} {m / 1e9:9.3f} GMACs  ({pct:4.1f}%)")
+    return "\n".join(lines)
