@@ -78,7 +78,19 @@ class FixedCapacityStepper:
 
     ``apply_fn(params, x, ctx)`` is the blocked model; geometry is fixed at
     construction so the whole step is a static program.
+
+    Task-specific points are overridable hooks (the reference hard-wires the
+    semseg path in ``BlockCopyModel`` and inlines detection in
+    ``csp_blockcopy.py:46-95``; here a task stepper subclasses):
+
+    * ``task_keys`` — names of per-frame task outputs carried in the state
+      (each also keeps a ``<key>_prev`` copy of the previous frame's value);
+    * ``_model_fn`` — run the blocked model, return the task-output dict;
+    * ``_output_repr`` — task representation fed to the policy net;
+    * ``_information_gain`` — the REINFORCE reward map.
     """
+
+    task_keys = ("outputs",)
 
     def __init__(self, apply_fn: Callable, cfg: StepperConfig,
                  frame_shape, capacity: int, dtype=jnp.float32):
@@ -91,6 +103,23 @@ class FixedCapacityStepper:
         self.total = n * gh * gw
         self.capacity = min(capacity, self.total)
         self.dtype = dtype
+
+    # -- task hooks ----------------------------------------------------------
+
+    def _model_fn(self, params, pack, ctx) -> Dict:
+        """Blocked model -> task outputs (stored into the carried state under
+        ``task_keys``).  Semseg: the dense stride-4 logits."""
+        out = self.apply_fn(params, pack, ctx)
+        return {"outputs": ctx.store_dense(OUT, out)}
+
+    def _output_repr(self, state):
+        """Previous-frame output representation for the policy input
+        (semseg: raw logits, reference ``information_gain.py:27-30``)."""
+        return state["outputs"]
+
+    def _information_gain(self, state):
+        return semseg_information_gain(state["outputs"],
+                                       state["outputs_prev"])
 
     # -- state --------------------------------------------------------------
 
@@ -115,22 +144,23 @@ class FixedCapacityStepper:
             ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
             pack = split_dense(frame, idx, n, gh, gw)
             ctx.store_dense(FRAME_STATE, pack)
-            out = self.apply_fn(model_params, pack, ctx)
-            dense_out = ctx.store_dense(OUT, out)
-            return ctx.canvases, dense_out
+            task = self._model_fn(model_params, pack, ctx)
+            return ctx.canvases, task
 
-        canvas_shapes, out_shape = jax.eval_shape(
+        canvas_shapes, task_shapes = jax.eval_shape(
             build, jax.ShapeDtypeStruct(self.frame_shape, self.dtype)
         )
         zeros = lambda s: jnp.zeros(s.shape, s.dtype)
-        return {
+        state = {
             "canvases": jax.tree.map(zeros, canvas_shapes),
-            "outputs": zeros(out_shape),
-            "outputs_prev": zeros(out_shape),
             "prev_grid": jnp.zeros((n, gh, gw), jnp.float32),
             "frame_idx": jnp.int32(0),
             "policy": self.init_policy_state(key),
         }
+        for k in self.task_keys:
+            state[k] = jax.tree.map(zeros, task_shapes[k])
+            state[f"{k}_prev"] = jax.tree.map(zeros, task_shapes[k])
+        return state
 
     def macs_per_step(self, model_params, policy: bool = True) -> float:
         """Exact model MACs of one steady-state step (capacity blocks), plus
@@ -151,10 +181,9 @@ class FixedCapacityStepper:
             ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
             pack = split_dense(frame, idx, n, gh, gw)
             ctx.store_dense(FRAME_STATE, pack)
-            out = self.apply_fn(model_params, pack, ctx)
-            dense = ctx.store_dense(OUT, out)
+            task = self._model_fn(model_params, pack, ctx)
             box["by_module"] = ctx.macs_by_module()
-            return dense
+            return task
 
         jax.eval_shape(f, jax.ShapeDtypeStruct(self.frame_shape, self.dtype))
         breakdown = dict(box["by_module"])
@@ -177,10 +206,9 @@ class FixedCapacityStepper:
         n, gh, gw = self.geom
         pack = split_dense(frame, idx, n, gh, gw)
         ctx = ExecCtx.blocked(idx, n, gh, gw, dict(state["canvases"]))
-        frame_state = ctx.store_dense(FRAME_STATE, pack)
-        out = self.apply_fn(params, pack, ctx)
-        outputs = ctx.store_dense(OUT, out)
-        return ctx.canvases, outputs, frame_state
+        ctx.store_dense(FRAME_STATE, pack)
+        task = self._model_fn(params, pack, ctx)
+        return ctx.canvases, task
 
     def _sample_grid(self, key, probs):
         """Bernoulli sample then round to exactly ``capacity`` blocks: keep
@@ -200,7 +228,19 @@ class FixedCapacityStepper:
         grid = (rank < self.capacity).reshape(probs.shape)
         return grid
 
-    def _policy_optim(self, state, grid_f, cache_x, psum_axis: Optional[str]):
+    def _policy_optim(self, state, grid_f, cache_x, psum_axis: Optional[str],
+                      logits=None, net_vjp=None):
+        """REINFORCE update (lax.cond'd on the train interval).
+
+        When the caller provides the sampling forward's ``(logits, net_vjp)``
+        (``jax.vjp`` pair from ``step``), the gradient is computed as the
+        analytic logit cotangent pulled back through that same forward —
+        d(mean(-logp·signed))/dl = -(grid - sigmoid(l))·signed/N — so the
+        policy net runs ONCE per frame instead of re-running under
+        ``jax.grad`` on train frames.  Without it (standalone callers), the
+        loss is re-traced and differentiated as before; both paths compute
+        identical gradients (same batch statistics).
+        """
         cfg = self.cfg
         pol = state["policy"]
         perc = grid_f.mean()
@@ -212,23 +252,27 @@ class FixedCapacityStepper:
 
         def do_train(operand):
             params, opt = operand
-            ig = semseg_information_gain(state["outputs"],
-                                         state["outputs_prev"])
+            ig = self._information_gain(state)
             reward = ig + reward_c
             gh, gw = grid_f.shape[1], grid_f.shape[2]
             reward_grid = adaptive_max_pool2d(reward, (gh, gw))[..., 0]
             signed = jnp.where(grid_f > 0, reward_grid, -reward_grid)
             signed = jax.lax.stop_gradient(signed)
 
-            def loss_fn(p):
-                logits, _ = policy_net_apply(p, pol["bn_state"], cache_x,
-                                             update_stats=False)
+            if net_vjp is not None:
                 l = logits[..., 0]
-                logp = grid_f * jax.nn.log_sigmoid(l) \
-                    + (1 - grid_f) * jax.nn.log_sigmoid(-l)
-                return jnp.mean(-logp * signed)
+                dlogits = -(grid_f - jax.nn.sigmoid(l)) * signed / l.size
+                grads, = net_vjp(dlogits[..., None])
+            else:
+                def loss_fn(p):
+                    lg, _ = policy_net_apply(p, pol["bn_state"], cache_x,
+                                             update_stats=False)
+                    l = lg[..., 0]
+                    logp = grid_f * jax.nn.log_sigmoid(l) \
+                        + (1 - grid_f) * jax.nn.log_sigmoid(-l)
+                    return jnp.mean(-logp * signed)
 
-            grads = jax.grad(loss_fn)(params)
+                grads = jax.grad(loss_fn)(params)
             if psum_axis is not None:
                 grads = jax.lax.pmean(grads, psum_axis)
             return rmsprop.update(grads, opt, params, lr=cfg.lr,
@@ -248,23 +292,23 @@ class FixedCapacityStepper:
         """Frame 1 of a clip: execute everything (capacity == total)."""
         n, gh, gw = self.geom
         idx = jnp.arange(self.total, dtype=jnp.int32)
-        canvases, outputs, frame_state = self._run_model(
-            model_params, state, frame, idx
-        )
+        canvases, task = self._run_model(model_params, state, frame, idx)
         pol = dict(state["policy"])
         rc = pol["running_cost"]
         rc = jnp.where(rc < 0, 1.0, rc)
         pol["running_cost"] = rc * self.cfg.cost_momentum \
             + (1 - self.cfg.cost_momentum) * 1.0
-        return {
+        new = {
             **state,
             "canvases": canvases,
-            "outputs": outputs,
-            "outputs_prev": outputs,
             "prev_grid": jnp.ones((n, gh, gw), jnp.float32),
             "frame_idx": jnp.int32(1),
             "policy": pol,
         }
+        for k in self.task_keys:
+            new[k] = task[k]
+            new[f"{k}_prev"] = task[k]
+        return new
 
     def step(self, model_params, state, frame, psum_axis: Optional[str] = None):
         """Steady-state frame: sample grid, run ``capacity`` blocks, update
@@ -276,28 +320,36 @@ class FixedCapacityStepper:
         frame_state_prev = state["canvases"][FRAME_STATE]
         fs_dense = block_layout_to_dense(frame_state_prev, n, gh, gw)
         cache_x = assemble_policy_input(
-            frame, fs_dense, state["outputs"], state["prev_grid"],
+            frame, fs_dense, self._output_repr(state), state["prev_grid"],
             self.cfg.block_size,
         )
-        logits, bn_state = policy_net_apply(pol["params"], pol["bn_state"],
-                                            cache_x, update_stats=True)
+
+        def net_fwd(p):
+            lg, bn = policy_net_apply(p, pol["bn_state"], cache_x,
+                                      update_stats=True)
+            return lg, bn
+
+        # vjp so the REINFORCE backward reuses THIS forward's residuals
+        # (the update's cotangent only enters at the logits)
+        logits, net_vjp, bn_state = jax.vjp(net_fwd, pol["params"],
+                                            has_aux=True)
         probs = jax.nn.sigmoid(logits[..., 0])
         grid = self._sample_grid(k_use, probs)
         grid_f = grid.astype(jnp.float32)
         idx = gridlib.exec_indices(grid, self.capacity)
 
-        canvases, outputs, frame_state = self._run_model(
-            model_params, state, frame, idx
-        )
+        canvases, task = self._run_model(model_params, state, frame, idx)
 
         mid = {
             **state,
             "canvases": canvases,
-            "outputs": outputs,
-            "outputs_prev": state["outputs"],
             "prev_grid": grid_f,
             "frame_idx": state["frame_idx"] + 1,
             "policy": {**pol, "bn_state": bn_state, "key": key},
         }
-        new_policy = self._policy_optim(mid, grid_f, cache_x, psum_axis)
+        for k in self.task_keys:
+            mid[k] = task[k]
+            mid[f"{k}_prev"] = state[k]
+        new_policy = self._policy_optim(mid, grid_f, cache_x, psum_axis,
+                                        logits=logits, net_vjp=net_vjp)
         return {**mid, "policy": new_policy}

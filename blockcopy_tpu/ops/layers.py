@@ -388,9 +388,18 @@ def upsample2x(x: Arrayish) -> Arrayish:
 def resize_nearest(x: jax.Array, out_hw) -> jax.Array:
     """Nearest-neighbor resize matching torch ``F.interpolate(mode='nearest')``
     (floor of source index scaling), used by the policy net input assembly
-    (reference ``policy/net.py:90-111``)."""
+    (reference ``policy/net.py:90-111``).
+
+    Integer-factor downscale lowers to a strided slice (source index
+    ``i*h//oh == i*(h//oh)`` exactly) — on TPU a strided slice is a cheap
+    windowed copy while a spatial gather is measurably slow (~1 ms for a
+    full-res frame; bisected in round 2)."""
     n, h, w, c = x.shape
     oh, ow = out_hw
+    if oh == h and ow == w:
+        return x
+    if h % oh == 0 and w % ow == 0:
+        return x[:, :: h // oh, :: w // ow]
     ry = (jnp.arange(oh) * h // oh).astype(jnp.int32)
     rx = (jnp.arange(ow) * w // ow).astype(jnp.int32)
     return x[:, ry][:, :, rx]

@@ -1,0 +1,150 @@
+"""Detection speed mode: jittable information-gain parity vs the host
+implementation, and DetectionStepper vs ladder-engine agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blockcopy_tpu.tasks.detection.information_gain import (
+    build_instance_mask,
+    build_instance_mask_iou_gain,
+    instance_mask_fixed,
+    iou_gain_fixed,
+    paint_boxes_max,
+)
+
+
+def random_dets(k_valid, k_total, seed, h=128, w=256):
+    rs = np.random.RandomState(seed)
+    dets = np.zeros((k_total, 5), np.float32)
+    x1 = rs.uniform(0, w - 20, k_valid)
+    y1 = rs.uniform(0, h - 20, k_valid)
+    bw = rs.uniform(4, 60, k_valid)
+    bh = rs.uniform(4, 60, k_valid)
+    dets[:k_valid, 0] = x1
+    dets[:k_valid, 1] = y1
+    dets[:k_valid, 2] = np.minimum(x1 + bw, w - 1)
+    dets[:k_valid, 3] = np.minimum(y1 + bh, h - 1)
+    dets[:k_valid, 4] = rs.uniform(0.1, 1.0, k_valid)
+    labels = np.zeros((k_total,), np.int32)
+    valid = np.zeros((k_total,), bool)
+    valid[:k_valid] = True
+    return dets, labels, valid
+
+
+def to_bbox_results(dets, labels, valid, num_fg=1):
+    out = []
+    for c in range(num_fg):
+        sel = valid & (labels == c)
+        out.append(dets[sel])
+    return [out]
+
+
+class TestPaint:
+    def test_paint_matches_numpy(self):
+        h, w = 64, 96
+        rs = np.random.RandomState(0)
+        boxes = np.stack([
+            rs.randint(0, w // 2, 17), rs.randint(0, h // 2, 17),
+            rs.randint(w // 2, w, 17), rs.randint(h // 2, h, 17),
+        ], -1).astype(np.int32)
+        weights = rs.uniform(0, 1, 17).astype(np.float32)
+        ours = np.asarray(paint_boxes_max(jnp.asarray(boxes),
+                                          jnp.asarray(weights), h, w))
+        ref = np.zeros((h, w), np.float32)
+        for (x1, y1, x2, y2), s in zip(boxes, weights):
+            ref[y1:y2, x1:x2] = np.maximum(ref[y1:y2, x1:x2], s)
+        np.testing.assert_allclose(ours, ref)
+
+
+class TestIoUGainParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("kcur,kprev", [(5, 7), (0, 4), (6, 0)])
+    def test_matches_host_implementation(self, seed, kcur, kprev):
+        h, w = 128, 256
+        k = 16
+        dets, labels, valid = random_dets(kcur, k, seed, h, w)
+        dets_p, labels_p, valid_p = random_dets(kprev, k, seed + 100, h, w)
+
+        ours = np.asarray(iou_gain_fixed(
+            jnp.asarray(dets), jnp.asarray(labels), jnp.asarray(valid),
+            jnp.asarray(dets_p), jnp.asarray(labels_p), jnp.asarray(valid_p),
+            (h, w), 2))
+        ref = build_instance_mask_iou_gain(
+            to_bbox_results(dets, labels, valid),
+            to_bbox_results(dets_p, labels_p, valid_p),
+            (1, h, w, 1), 2)
+        # ref is nearest-upsampled to full res; subsample it back
+        ref_sub = ref[:, ::2, ::2, :]
+        np.testing.assert_allclose(ours, ref_sub, rtol=1e-5, atol=1e-6)
+
+    def test_instance_mask_matches_host(self):
+        h, w = 128, 256
+        dets, labels, valid = random_dets(6, 16, 3, h, w)
+        ours = np.asarray(instance_mask_fixed(
+            jnp.asarray(dets), jnp.asarray(labels), jnp.asarray(valid),
+            (h, w), 1, 1.0))
+        ref = build_instance_mask(to_bbox_results(dets, labels, valid),
+                                  (1, h, w, 1))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+class TestDetectionStepper:
+    def _build(self):
+        from blockcopy_tpu.core.stepper import StepperConfig
+        from blockcopy_tpu.models.csp import CSPConfig, init_csp
+        from blockcopy_tpu.tasks.detection.stepper import DetectionStepper
+
+        csp_cfg = CSPConfig(stage_blocks=(1, 1, 1, 1), nms_pre=64,
+                            max_per_img=8)
+        params = init_csp(jax.random.PRNGKey(0), csp_cfg)
+        scfg = StepperConfig(block_size=128, train_interval=2, num_classes=1)
+        frame_shape = (1, 256, 256, 3)
+        stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity=2)
+        return stepper, params, csp_cfg, frame_shape
+
+    def test_stepper_runs_and_trains(self):
+        stepper, params, csp_cfg, frame_shape = self._build()
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        rs = np.random.RandomState(0)
+        f = jnp.asarray(rs.randn(*frame_shape).astype(np.float32))
+        state = jax.jit(stepper.first_step)(params, state, f)
+        p0 = state["policy"]["params"]["conv1"]["w"]
+        step = jax.jit(stepper.step)
+        for t in range(4):
+            f2 = jnp.asarray(rs.randn(*frame_shape).astype(np.float32))
+            state = step(params, state, f2)
+        assert np.asarray(state["dets"]).shape == (8, 5)
+        assert bool(jnp.all(jnp.isfinite(state["dets"])))
+        assert int(state["frame_idx"]) == 5
+        # REINFORCE must have updated the policy at least once
+        moved = float(jnp.abs(
+            state["policy"]["params"]["conv1"]["w"] - p0).max())
+        assert moved > 0, "policy never trained"
+        assert float(state["policy"]["running_cost"]) > 0
+
+    def test_first_step_matches_ladder_engine(self):
+        """All-exec frame 1: the fused stepper's decoded boxes must equal the
+        ladder engine's (same model code, same decode)."""
+        from blockcopy_tpu.core.argparser import default_settings
+        from blockcopy_tpu.models.csp import (
+            CSPBlockCopy, dets_to_bbox_results)
+
+        stepper, params, csp_cfg, frame_shape = self._build()
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        rs = np.random.RandomState(7)
+        f = jnp.asarray(rs.randn(*frame_shape).astype(np.float32))
+        state = jax.jit(stepper.first_step)(params, state, f)
+        ours = dets_to_bbox_results(state["dets"], state["labels"],
+                                    state["valid"], csp_cfg.num_classes)[0]
+
+        engine = CSPBlockCopy(params, csp_cfg,
+                              default_settings(block_policy="all",
+                                               block_size=128,
+                                               block_num_classes=1))
+        ref = engine.simple_test(f)
+        for a, b in zip(ours, ref):
+            a = a[np.argsort(-a[:, 4])]
+            b = b[np.argsort(-b[:, 4])]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
