@@ -198,7 +198,9 @@ class FixedCapacityStepper:
         """New clip: reset the frame counter (canvases are fully overwritten
         by the all-exec first frame; policy state persists across clips like
         the reference's policy module attributes)."""
-        return {**state, "frame_idx": jnp.int32(0)}
+        # zeros_like: also valid for mesh-stacked states, where frame_idx
+        # carries a leading device axis
+        return {**state, "frame_idx": jnp.zeros_like(state["frame_idx"])}
 
     # -- internals ----------------------------------------------------------
 
@@ -324,15 +326,13 @@ class FixedCapacityStepper:
             self.cfg.block_size,
         )
 
-        def net_fwd(p):
-            lg, bn = policy_net_apply(p, pol["bn_state"], cache_x,
-                                      update_stats=True)
-            return lg, bn
-
-        # vjp so the REINFORCE backward reuses THIS forward's residuals
-        # (the update's cotangent only enters at the logits)
-        logits, net_vjp, bn_state = jax.vjp(net_fwd, pol["params"],
-                                            has_aux=True)
+        # NOTE: a jax.vjp restructure (reuse this forward's residuals for the
+        # REINFORCE backward) was measured SLOWER end-to-end (95.7 vs ~140
+        # FPS): residual storage taxes every frame's forward while the
+        # backward only runs every train_interval frames.  The backward
+        # recomputes its own forward inside the lax.cond instead.
+        logits, bn_state = policy_net_apply(pol["params"], pol["bn_state"],
+                                            cache_x, update_stats=True)
         probs = jax.nn.sigmoid(logits[..., 0])
         grid = self._sample_grid(k_use, probs)
         grid_f = grid.astype(jnp.float32)
@@ -350,6 +350,5 @@ class FixedCapacityStepper:
         for k in self.task_keys:
             mid[k] = task[k]
             mid[f"{k}_prev"] = state[k]
-        new_policy = self._policy_optim(mid, grid_f, cache_x, psum_axis,
-                                        logits=logits, net_vjp=net_vjp)
+        new_policy = self._policy_optim(mid, grid_f, cache_x, psum_axis)
         return {**mid, "policy": new_policy}

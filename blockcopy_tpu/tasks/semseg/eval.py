@@ -106,6 +106,12 @@ def build_argparser():
                         help="fixed-capacity fused stepper: the whole frame "
                         "step is one compiled program, zero host syncs "
                         "(rl policy only; implies --fast semantics)")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard clips data-parallel over an N-device "
+                        "mesh (speed mode only): each device steps one clip, "
+                        "policy gradients are pmean'd over the mesh "
+                        "(live replacement for the reference's dead "
+                        "multi_gpu_test, tools/test_city_person.py:128-190)")
     parser.add_argument("--timings", type=int, default=0)
     add_argparser_arguments(parser)
     return parser
@@ -181,11 +187,25 @@ def main(argv=None):
             dtype=dtype,
         )
         stepper_state["stepper"] = stepper
-        stepper_state["first"] = jax.jit(stepper.first_step,
-                                         donate_argnums=(1,))
-        stepper_state["step"] = jax.jit(stepper.step, donate_argnums=(1,))
-        stepper_state["state"] = stepper.init_state(params,
-                                                    jax.random.PRNGKey(1))
+        if args.num_devices > 1:
+            from blockcopy_tpu.parallel import clip_parallel
+
+            assert args.batch_size == 1, \
+                "--num-devices shards clips; use it with --batch-size 1"
+            mesh = clip_parallel.make_mesh(args.num_devices)
+            first, step = clip_parallel.build_parallel_steps(stepper, mesh)
+            stepper_state["first"] = first
+            stepper_state["step"] = step
+            stepper_state["state"] = clip_parallel.init_parallel_state(
+                stepper, params, jax.random.PRNGKey(1), args.num_devices)
+            stepper_state["devices"] = args.num_devices
+            logger.info("mesh eval: %d devices x 1 clip", args.num_devices)
+        else:
+            stepper_state["first"] = jax.jit(stepper.first_step,
+                                             donate_argnums=(1,))
+            stepper_state["step"] = jax.jit(stepper.step, donate_argnums=(1,))
+            stepper_state["state"] = stepper.init_state(params,
+                                                        jax.random.PRNGKey(1))
         logger.info("speed mode: capacity %d/%d blocks, %.2f GMACs/frame",
                     capacity, gh * gw,
                     stepper.macs_per_step(params) / 1e9)
@@ -232,10 +252,16 @@ def main(argv=None):
                 if stepper_state:
                     fn = stepper_state["first"] if frame_id == 0 else \
                         stepper_state["step"]
+                    d = stepper_state.get("devices", 0)
+                    # mesh mode: (D, H, W, 3) -> (D, 1, H, W, 3), one clip
+                    # per device; outputs fold back to (D, h, w, C)
+                    x = inputs.reshape(d, 1, *inputs.shape[1:]) if d \
+                        else inputs
                     stepper_state["state"] = fn(params,
-                                                stepper_state["state"],
-                                                inputs)
+                                                stepper_state["state"], x)
                     out = stepper_state["state"]["outputs"]
+                    if d:
+                        out = out.reshape(d, *out.shape[2:])
                 elif model is not None:
                     out = model(inputs)
                 else:
@@ -262,6 +288,7 @@ def main(argv=None):
         start = time.perf_counter()
         num_images = 0
         cached = None
+        preds = None
 
         def batched(it, bsize):
             """Group consecutive clips into time-major batches
@@ -289,8 +316,11 @@ def main(argv=None):
                         else 0)
             return clip_b, target_b, group[0][2]
 
+        # mesh mode groups one clip per device; batch mode groups per batch
+        group_size = args.batch_size if args.num_devices <= 1 \
+            else args.num_devices
         for i, (clip, target, meta) in enumerate(
-            batched(iter(loader), args.batch_size)
+            batched(iter(loader), group_size)
         ):
             if args.single_clip_loop:
                 if cached is None:
@@ -303,7 +333,8 @@ def main(argv=None):
                 metrics.update(np.asarray(target), np.asarray(preds))
         # fence with a real device->host read (block_until_ready can return
         # early on relay backends)
-        float(jnp.sum(preds))
+        if preds is not None:
+            float(jnp.sum(preds))
         stop = time.perf_counter()
 
         logger.info("Number of images: %d", num_images)
@@ -335,8 +366,8 @@ def main(argv=None):
                 results["gmacs_breakdown"] = {
                     k: v / 1e9 for k, v in breakdown.items()}
                 results["perc_exec"] = st.capacity / st.total
-                results["running_cost"] = float(
-                    stepper_state["state"]["policy"]["running_cost"])
+                results["running_cost"] = float(jnp.mean(
+                    stepper_state["state"]["policy"]["running_cost"]))
             else:
                 # static baseline cost (reference prints GMACs for the
                 # static run too, test_swiftnet.py:240-244): exact dense
