@@ -1,8 +1,9 @@
 """Paired image+label transforms (numpy/PIL; NHWC output).
 
 Covers the eval pipeline of the reference (Resize -> ToTensor -> Normalize,
-``test_swiftnet.py:62-66``) plus the train-side crops/flips from
-``lib/ext_transforms.py`` needed for policy warmup on augmented data.
+``test_swiftnet.py:62-66``) and the train-side augmentation set of
+``lib/ext_transforms.py`` (crops, flips, rotation, blur, pad, scale /
+scale-list, color jitter) for semseg training pipelines.
 """
 
 from __future__ import annotations
@@ -154,6 +155,91 @@ class ExtColorJitter:
         if self.saturation > 0:
             img = ImageEnhance.Color(img).enhance(
                 self._factor(self.saturation))
+        return img, lbl
+
+
+class ExtRandomVerticalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img, lbl):
+        if random.random() < self.p:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+            if lbl is not None:
+                lbl = lbl.transpose(Image.FLIP_TOP_BOTTOM)
+        return img, lbl
+
+
+class ExtRandomRotation:
+    """Rotate image (bilinear) and label (nearest) by a random angle in
+    ``degrees``; label fill is the ignore index."""
+
+    def __init__(self, degrees, expand: bool = False, ignore_index: int = 255):
+        if isinstance(degrees, (int, float)):
+            degrees = (-abs(degrees), abs(degrees))
+        self.degrees = degrees
+        self.expand = expand
+        self.ignore_index = ignore_index
+
+    def __call__(self, img, lbl):
+        angle = random.uniform(*self.degrees)
+        img = img.rotate(angle, Image.BILINEAR, expand=self.expand)
+        if lbl is not None:
+            lbl = lbl.rotate(angle, Image.NEAREST, expand=self.expand,
+                             fillcolor=self.ignore_index)
+        return img, lbl
+
+
+class ExtGaussianBlur:
+    """Gaussian blur of the image only (labels untouched)."""
+
+    def __init__(self, radius=(0.1, 2.0), p: float = 0.5):
+        if isinstance(radius, (int, float)):
+            radius = (radius, radius)
+        self.radius = radius
+        self.p = p
+
+    def __call__(self, img, lbl):
+        if random.random() < self.p:
+            from PIL import ImageFilter
+
+            img = img.filter(ImageFilter.GaussianBlur(
+                random.uniform(*self.radius)))
+        return img, lbl
+
+
+class ExtPad:
+    """Pad right/bottom so both sides are multiples of ``divisor``
+    (images 0-filled, labels ignore-filled)."""
+
+    def __init__(self, divisor: int = 32, ignore_index: int = 255):
+        self.divisor = divisor
+        self.ignore_index = ignore_index
+
+    def __call__(self, img, lbl):
+        w, h = img.size
+        pw = (-w) % self.divisor
+        ph = (-h) % self.divisor
+        if pw or ph:
+            img = _pad_pil(img, pw, ph, 0)
+            if lbl is not None:
+                lbl = _pad_pil(lbl, pw, ph, self.ignore_index)
+        return img, lbl
+
+
+class ExtRandomScaleChoice:
+    """Random rescale by a factor drawn from a discrete list (the
+    reference's scale-list training mode)."""
+
+    def __init__(self, scales: Sequence[float] = (0.5, 0.75, 1.0, 1.5, 2.0)):
+        self.scales = tuple(scales)
+
+    def __call__(self, img, lbl):
+        s = random.choice(self.scales)
+        size = (int(img.size[0] * s), int(img.size[1] * s))
+        img = img.resize(size, Image.BILINEAR)
+        if lbl is not None:
+            lbl = lbl.resize(size, Image.NEAREST)
         return img, lbl
 
 

@@ -35,6 +35,8 @@ from blockcopy_tpu.ops import layers as L
 class ResNetConfig:
     layers: Sequence[int]
     bottleneck: bool
+    groups: int = 1        # ResNeXt cardinality
+    base_width: int = 64   # wide variants: 128
 
     @property
     def expansion(self) -> int:
@@ -45,12 +47,25 @@ class ResNetConfig:
         # channel count after each stage (reference backbones/resnet.py:200-208)
         return [c * self.expansion for c in (64, 128, 256, 512)]
 
+    def width(self, planes: int) -> int:
+        # torchvision Bottleneck width formula
+        return int(planes * self.base_width / 64.0) * self.groups
 
+
+# full torchvision family the reference backbone file exposes
+# (backbones/resnet.py:288-304 __all__ / factories)
 RESNETS = {
     "resnet18": ResNetConfig((2, 2, 2, 2), False),
     "resnet34": ResNetConfig((3, 4, 6, 3), False),
     "resnet50": ResNetConfig((3, 4, 6, 3), True),
     "resnet101": ResNetConfig((3, 4, 23, 3), True),
+    "resnet152": ResNetConfig((3, 8, 36, 3), True),
+    "resnext50_32x4d": ResNetConfig((3, 4, 6, 3), True, groups=32,
+                                    base_width=4),
+    "resnext101_32x8d": ResNetConfig((3, 4, 23, 3), True, groups=32,
+                                     base_width=8),
+    "wide_resnet50_2": ResNetConfig((3, 4, 6, 3), True, base_width=128),
+    "wide_resnet101_2": ResNetConfig((3, 4, 23, 3), True, base_width=128),
 }
 
 
@@ -109,15 +124,17 @@ def _basic_block_init(key, cin, cout, stride, dtype):
     return p
 
 
-def _bottleneck_init(key, cin, planes, stride, dtype):
+def _bottleneck_init(key, cin, planes, stride, dtype, groups=1, width=None):
     cout = planes * 4
+    width = width if width is not None else planes
     ks = jax.random.split(key, 4)
     p = {
-        "conv1": _conv_init(ks[0], 1, 1, cin, planes, dtype=dtype),
-        "bn1": _bn_init(planes, dtype),
-        "conv2": _conv_init(ks[1], 3, 3, planes, planes, dtype=dtype),
-        "bn2": _bn_init(planes, dtype),
-        "conv3": _conv_init(ks[2], 1, 1, planes, cout, dtype=dtype),
+        "conv1": _conv_init(ks[0], 1, 1, cin, width, dtype=dtype),
+        "bn1": _bn_init(width, dtype),
+        # grouped 3x3: weight carries cin/groups input channels
+        "conv2": _conv_init(ks[1], 3, 3, width // groups, width, dtype=dtype),
+        "bn2": _bn_init(width, dtype),
+        "conv3": _conv_init(ks[2], 1, 1, width, cout, dtype=dtype),
         "bn3": _bn_init(cout, dtype),
     }
     if stride != 1 or cin != cout:
@@ -144,7 +161,9 @@ def init_resnet(key, cfg: ResNetConfig, dtype=jnp.float32) -> Dict:
         for b in range(blocks):
             s = stride if b == 0 else 1
             if cfg.bottleneck:
-                stage_params.append(_bottleneck_init(bkeys[b], cin, planes, s, dtype))
+                stage_params.append(_bottleneck_init(
+                    bkeys[b], cin, planes, s, dtype, groups=cfg.groups,
+                    width=cfg.width(planes)))
                 cin = planes * 4
             else:
                 stage_params.append(_basic_block_init(bkeys[b], cin, planes, s, dtype))
@@ -215,7 +234,7 @@ def _basic_block(ctx, name, x, p, stride):
     return L.relu(out)
 
 
-def _bottleneck_block(ctx, name, x, p, stride):
+def _bottleneck_block(ctx, name, x, p, stride, groups=1):
     identity = x
     if "downsample" in p:
         identity = L.conv2d(ctx, f"{name}.ds", x, p["downsample"]["conv"]["w"],
@@ -225,7 +244,8 @@ def _bottleneck_block(ctx, name, x, p, stride):
     out = L.conv2d(ctx, f"{name}.conv1", x, p["conv1"]["w"], padding=0)
     out = L.batch_norm(out, p["bn1"]["scale"], p["bn1"]["bias"])
     out = L.relu(out)
-    out = L.conv2d(ctx, f"{name}.conv2", out, p["conv2"]["w"], stride=stride)
+    out = L.conv2d(ctx, f"{name}.conv2", out, p["conv2"]["w"], stride=stride,
+                   groups=groups)
     out = L.batch_norm(out, p["bn2"]["scale"], p["bn2"]["bias"])
     out = L.relu(out)
     out = L.conv2d(ctx, f"{name}.conv3", out, p["conv3"]["w"], padding=0)
@@ -243,12 +263,15 @@ def resnet_forward_down(params, x, ctx: ExecCtx, cfg: ResNetConfig):
     x = L.relu(x)
     x = L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2, padding=1)
     feats = []
-    block_fn = _bottleneck_block if cfg.bottleneck else _basic_block
     for stage in range(4):
         stride = 1 if stage == 0 else 2
         for b, p in enumerate(params[f"layer{stage + 1}"]):
             s = stride if b == 0 else 1
-            x = block_fn(ctx, f"backbone.layer{stage + 1}.{b}", x, p, s)
+            name = f"backbone.layer{stage + 1}.{b}"
+            if cfg.bottleneck:
+                x = _bottleneck_block(ctx, name, x, p, s, groups=cfg.groups)
+            else:
+                x = _basic_block(ctx, name, x, p, s)
         feats.append(x)
     return feats
 

@@ -168,7 +168,9 @@ def init_train_state(params, cfg: TrainConfig):
     zeros = lambda: jax.tree.map(jnp.zeros_like, params)
     return {
         "params": params,
-        "ema_params": jax.tree.map(lambda x: x, params),  # teacher
+        # teacher starts as a COPY (aliased buffers would be donated twice
+        # when the train step donates the whole state)
+        "ema_params": jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         "m": zeros(),
         "v": zeros(),
         "step": jnp.int32(0),

@@ -256,7 +256,8 @@ def assert_close_normalized(actual, desired, tol, what=""):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("backbone", ["resnet18", "resnet50"])
+@pytest.mark.parametrize("backbone", ["resnet18", "resnet50",
+                                      "resnext50_32x4d", "wide_resnet50_2"])
 def test_swiftnet_full_model_parity(ref_swiftnet_mod, backbone):
     from blockcopy_tpu.models.swiftnet import (
         SwiftNetConfig, make_apply_fn)
