@@ -30,6 +30,7 @@ from blockcopy_tpu.core import grid as gridlib
 from blockcopy_tpu.core.blocked import (
     ExecCtx,
     block_layout_to_dense,
+    scatter_pack,
     split_dense,
 )
 from blockcopy_tpu.ops.layers import adaptive_max_pool2d
@@ -44,6 +45,11 @@ from blockcopy_tpu.policy.net import (
 
 FRAME_STATE = "__frame_state__"
 OUT = "__out__"
+# The policy consumes the frame-state composite at 1/4*(128/bs) scale, i.e.
+# 32 px per block regardless of block size — so the canvas stores blocks
+# already nearest-downsampled to 32x32 instead of materializing (and then
+# downsampling) a full-resolution composite every frame.
+FS_BS = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +110,20 @@ class FixedCapacityStepper:
         self.capacity = min(capacity, self.total)
         self.dtype = dtype
 
+    def _store_frame_state(self, ctx, pack) -> None:
+        """Scatter the current frame's blocks into the FRAME_STATE canvas at
+        policy resolution (nearest-downsampled per block; pixels identical to
+        downsampling the full-res composite, since the sampling stride
+        divides the block size)."""
+        k = pack.block_size // FS_BS
+        if k <= 1:
+            small = pack
+        else:
+            r = (jnp.arange(FS_BS) * k).astype(jnp.int32)
+            small = dataclasses.replace(pack, data=pack.data[:, r][:, :, r])
+        canvas = ctx.canvas_for(FRAME_STATE, small)
+        ctx.canvases[FRAME_STATE] = scatter_pack(canvas, small)
+
     # -- task hooks ----------------------------------------------------------
 
     def _model_fn(self, params, pack, ctx) -> Dict:
@@ -143,7 +163,7 @@ class FixedCapacityStepper:
             idx = jnp.arange(self.total, dtype=jnp.int32)
             ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
             pack = split_dense(frame, idx, n, gh, gw)
-            ctx.store_dense(FRAME_STATE, pack)
+            self._store_frame_state(ctx, pack)
             task = self._model_fn(model_params, pack, ctx)
             return ctx.canvases, task
 
@@ -180,7 +200,7 @@ class FixedCapacityStepper:
             idx = jnp.zeros((self.capacity,), jnp.int32)
             ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
             pack = split_dense(frame, idx, n, gh, gw)
-            ctx.store_dense(FRAME_STATE, pack)
+            self._store_frame_state(ctx, pack)
             task = self._model_fn(model_params, pack, ctx)
             box["by_module"] = ctx.macs_by_module()
             return task
@@ -208,7 +228,7 @@ class FixedCapacityStepper:
         n, gh, gw = self.geom
         pack = split_dense(frame, idx, n, gh, gw)
         ctx = ExecCtx.blocked(idx, n, gh, gw, dict(state["canvases"]))
-        ctx.store_dense(FRAME_STATE, pack)
+        self._store_frame_state(ctx, pack)
         task = self._model_fn(params, pack, ctx)
         return ctx.canvases, task
 

@@ -115,10 +115,57 @@ def build_argparser():
     p.add_argument("--output-dir", type=str, default="",
                    help="write detection/grid visualization overlays")
     p.add_argument("--timings", type=int, default=0)
+    p.add_argument("--speed-mode", action="store_true",
+                   help="fused fixed-capacity detection stepper: policy + "
+                   "blocked CSP + on-device decode/NMS/IoU-gain as one "
+                   "compiled program, zero steady-state host syncs")
     add_argparser_arguments(p)
     p.set_defaults(block_policy="rl_objectdetection", block_num_classes=1,
                    block_target=0.3, block_optim_wd=0.0001)
     return p
+
+
+class _StepperDetector:
+    """DetectionStepper behind the ladder engine's interface
+    (``reset_temporal`` / ``simple_test``) so the eval loop is shared."""
+
+    def __init__(self, params, csp_cfg, settings, frame_shape, dtype):
+        import jax as _jax
+
+        from blockcopy_tpu.core.stepper import StepperConfig
+        from blockcopy_tpu.tasks.detection.stepper import DetectionStepper
+
+        scfg = StepperConfig.from_settings(settings)
+        gh = frame_shape[1] // scfg.block_size
+        gw = frame_shape[2] // scfg.block_size
+        capacity = max(1, int(round(settings["block_target"] * gh * gw)))
+        self.params = params
+        self.csp_cfg = csp_cfg
+        self.stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity,
+                                        dtype=dtype)
+        self.state = self.stepper.init_state(params, _jax.random.PRNGKey(1))
+        self._first = _jax.jit(self.stepper.first_step, donate_argnums=(1,))
+        self._step = _jax.jit(self.stepper.step, donate_argnums=(1,))
+        self._frame_id = 0
+
+    def reset_temporal(self):
+        self.state = self.stepper.reset_temporal(self.state)
+        self._frame_id = 0
+
+    def simple_test(self, img, img_shape=None):
+        from blockcopy_tpu.models.csp import dets_to_bbox_results
+
+        fn = self._first if self._frame_id == 0 else self._step
+        self.state = fn(self.params, self.state, img)
+        self._frame_id += 1
+        return dets_to_bbox_results(self.state["dets"], self.state["labels"],
+                                    self.state["valid"],
+                                    self.csp_cfg.num_classes)[0]
+
+    @property
+    def policy_meta(self):
+        # viz compatibility with the ladder engine's meta dict
+        return {"grid": self.state["prev_grid"] > 0}
 
 
 def main(argv=None):
@@ -148,6 +195,13 @@ def main(argv=None):
         else:
             params = init_csp(jax.random.PRNGKey(0), cfg, dtype=dtype)
         model = CSPBlockCopy(params, cfg, settings)
+
+    if args.speed_mode:
+        assert args.block_policy == "rl_objectdetection", \
+            "--speed-mode uses the fused RL stepper"
+        frame_shape = (1, args.res, args.res * 2, 3)
+        model = _StepperDetector(model.params, model.cfg, settings,
+                                 frame_shape, dtype)
 
     if args.synthetic:
         n_warm = max(args.num_clips_warmup, 0) or 2
@@ -196,7 +250,8 @@ def main(argv=None):
         return detections, num_images, elapsed
 
     run_phase(ds_warm, "warmup", args.num_clips_warmup)
-    model.flops.reset_frames()
+    if not args.speed_mode:
+        model.flops.reset_frames()
     dets, num_images, elapsed = run_phase(ds_eval, "eval",
                                           args.num_clips_eval)
 
@@ -209,10 +264,15 @@ def main(argv=None):
     results = {f"MR_{k}": v for k, v in mrs.items()}
     results["fps"] = num_images / elapsed
     from blockcopy_tpu.utils.flops import format_gmacs_breakdown
-    breakdown = model.flops.average_macs_by_module()
-    results["gmacs_per_image"] = model.flops.average_gmacs()
+    if args.speed_mode:
+        breakdown = model.stepper.macs_breakdown_per_step(model.params)
+        results["gmacs_per_image"] = sum(breakdown.values()) / 1e9
+        results["perc_exec"] = model.stepper.capacity / model.stepper.total
+    else:
+        breakdown = model.flops.average_macs_by_module()
+        results["gmacs_per_image"] = model.flops.average_gmacs()
+        results["perc_exec"] = model.policy.stats.get_exec_percentage()
     results["gmacs_breakdown"] = {k: v / 1e9 for k, v in breakdown.items()}
-    results["perc_exec"] = model.policy.stats.get_exec_percentage()
     for k in SETUP_LABELS:
         logger.info("Average Miss Rate (MR) %-22s = %.2f%%", k,
                     mrs[k])

@@ -387,11 +387,27 @@ def main(argv=None):
             return results
         return None
 
+    def check_policy_health(phase):
+        """Cheap phase-boundary NaN guard for the fused stepper (one bad
+        REINFORCE update would otherwise corrupt the policy silently;
+        the ladder engine has per-update guards under --block-policy-verbose
+        instead)."""
+        if not stepper_state:
+            return
+        pol = stepper_state["state"]["policy"]
+        rc = np.asarray(pol["running_cost"])
+        w = np.asarray(jnp.sum(pol["params"]["conv1"]["w"]))
+        if not (np.isfinite(rc).all() and np.isfinite(w)):
+            raise FloatingPointError(
+                f"policy state non-finite after {phase} "
+                f"(running_cost={rc}); training diverged")
+
     if args.policy_checkpoint and model is not None and \
             os.path.isfile(args.policy_checkpoint):
         logger.info("loading policy state from %s", args.policy_checkpoint)
         model.load_policy(args.policy_checkpoint)
     process_dataset(dataset_warmup, "warmup", args.num_clips_warmup)
+    check_policy_health("warmup")
     if args.policy_checkpoint and model is not None:
         model.save_policy(args.policy_checkpoint)
         logger.info("saved policy state to %s", args.policy_checkpoint)
@@ -399,6 +415,7 @@ def main(argv=None):
         model.flops.reset_frames()
         model.policy.stats = type(model.policy.stats)()
     results = process_dataset(dataset_eval, "eval", args.num_clips_eval)
+    check_policy_health("eval")
     print(json.dumps({k: (float(v) if isinstance(v, (int, float, np.floating))
                           else v) for k, v in results.items()}))
     return results
