@@ -124,6 +124,27 @@ class TestDetectionStepper:
         assert moved > 0, "policy never trained"
         assert float(state["policy"]["running_cost"]) > 0
 
+    def test_detection_clip_parallel_mesh(self):
+        """Detection stepper shards over the clip mesh like semseg (the
+        task-generic state pytree carries dets/labels/valid per device)."""
+        import numpy as np
+
+        from blockcopy_tpu.parallel import clip_parallel
+
+        stepper, params, csp_cfg, frame_shape = self._build()
+        n_dev = 2
+        mesh = clip_parallel.make_mesh(n_dev)
+        state = clip_parallel.init_parallel_state(
+            stepper, params, jax.random.PRNGKey(1), n_dev)
+        first, step = clip_parallel.build_parallel_steps(stepper, mesh)
+        rs = np.random.RandomState(0)
+        f = jnp.asarray(rs.randn(n_dev, *frame_shape).astype(np.float32))
+        state = first(params, state, f)
+        state = step(params, state, f + 0.1)
+        dets = np.asarray(state["dets"])
+        assert dets.shape == (n_dev, 8, 5)
+        assert np.isfinite(dets).all()
+
     def test_first_step_matches_ladder_engine(self):
         """All-exec frame 1: the fused stepper's decoded boxes must equal the
         ladder engine's (same model code, same decode)."""
