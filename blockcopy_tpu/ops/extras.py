@@ -1,11 +1,13 @@
 """Detection ops inherited from mmdetection that the reference ships as CUDA
 extensions but that are off the BlockCopy target path (SURVEY.md §2.4):
-sigmoid focal loss, RoIAlign and RoIPool, expressed directly in JAX (no
-native kernel needed on TPU).  Deformable convolution is a documented
-non-goal (nothing in the CSP/SwiftNet configs uses it; ``dcn=None``).
+sigmoid focal loss, RoIAlign and RoIPool, deformable convolution (v1/v2)
+and masked conv, expressed directly in JAX (no native kernel needed on TPU;
+nothing in the CSP/SwiftNet configs enables DCN — ``dcn=None`` — but the
+backbone API accepts it, so the op is provided).
 
 References: ``Pedestron/mmdet/ops/sigmoid_focal_loss/``, ``ops/roi_align/``,
-``ops/roi_pool/`` (CUDA sources + gradcheck scripts).
+``ops/roi_pool/``, ``ops/dcn/``, ``ops/masked_conv/`` (CUDA sources +
+gradcheck scripts).
 """
 
 from __future__ import annotations
@@ -113,3 +115,106 @@ def roi_pool(features: jax.Array, rois: jax.Array, out_size: int = 7,
 
     del aligned
     return jax.vmap(one_roi)(batch, ys, xs)
+
+
+def _bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array
+                     ) -> jax.Array:
+    """Bilinear sample ``img (H, W, C)`` at float positions; out-of-bounds
+    contributes zero (the DCN kernels' zero-padding semantics,
+    ``mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu`` dmcn_im2col_bilinear)."""
+    h, w, _ = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    out = 0.0
+    for dy, wy in ((0, 1 - wy1), (1, wy1)):
+        for dx, wx in ((0, 1 - wx1), (1, wx1)):
+            yy = y0.astype(jnp.int32) + dy
+            xx = x0.astype(jnp.int32) + dx
+            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            v = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+            out = out + v * (wy * wx * inb)[..., None]
+    return out
+
+
+def deform_conv2d(x: jax.Array, offsets: jax.Array, w: jax.Array,
+                  b: jax.Array = None, stride: int = 1, padding: int = 1,
+                  dilation: int = 1, deformable_groups: int = 1,
+                  mask: jax.Array = None) -> jax.Array:
+    """Deformable convolution, v1 (``mask=None``) and modulated v2.
+
+    TPU-native equivalent of ``deform_conv_cuda`` / ``modulated_deform_conv``
+    (``mmdet/ops/dcn``): per-tap bilinear sampling at learned offsets, then
+    the contraction runs as one MXU matmul over the gathered taps.
+
+    Args:
+        x: (N, H, W, C) features.
+        offsets: (N, Ho, Wo, dg*kh*kw*2), last dim interleaved (dy, dx) per
+            tap in row-major tap order (torch layout).
+        w: (kh, kw, C, Cout) HWIO weights.
+        mask: optional (N, Ho, Wo, dg*kh*kw) modulation (DCNv2).
+    Returns:
+        (N, Ho, Wo, Cout).
+    """
+    n, h, wdt, c = x.shape
+    kh, kw, _, cout = w.shape
+    dg = deformable_groups
+    assert c % dg == 0
+    ho = (h + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    wo = (wdt + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+    off = offsets.reshape(n, ho, wo, dg, kh * kw, 2)
+    base_y = (jnp.arange(ho) * stride - padding).astype(jnp.float32)
+    base_x = (jnp.arange(wo) * stride - padding).astype(jnp.float32)
+
+    def one_image(img, off_i, mask_i):
+        taps = []
+        for t in range(kh * kw):
+            ky, kx = t // kw, t % kw
+            ys = (base_y[:, None] + ky * dilation)[None] + off_i[:, :, :, t, 0].transpose(2, 0, 1)
+            xs = (base_x[None, :] + kx * dilation)[None] + off_i[:, :, :, t, 1].transpose(2, 0, 1)
+            # per deformable group: sample that group's channel slice
+            per_g = []
+            cg = c // dg
+            for g in range(dg):
+                v = _bilinear_sample(img[..., g * cg:(g + 1) * cg],
+                                     ys[g], xs[g])
+                if mask_i is not None:
+                    v = v * mask_i[:, :, g, t][..., None]
+                per_g.append(v)
+            taps.append(jnp.concatenate(per_g, axis=-1))  # (ho, wo, c)
+        stacked = jnp.stack(taps, axis=2)  # (ho, wo, kh*kw, c)
+        wt = w.reshape(kh * kw, c, cout)
+        return jnp.einsum("hwtc,tco->hwo", stacked, wt)
+
+    if mask is None:
+        out = jax.vmap(lambda img, o: one_image(img, o, None))(x, off)
+    else:
+        out = jax.vmap(one_image)(x, off,
+                                  mask.reshape(n, ho, wo, dg, kh * kw))
+    if b is not None:
+        out = out + b
+    return out
+
+
+def masked_conv2d(ctx, name: str, x, w: jax.Array, mask: jax.Array,
+                  b: jax.Array = None, stride: int = 1,
+                  padding: int = 1) -> jax.Array:
+    """``masked_conv2d_cuda`` parity (``mmdet/ops/masked_conv``): convolution
+    whose output is only needed at masked pixels.
+
+    The reference's kernel gathers an im2col matrix for the masked pixels to
+    *save* compute on a GPU.  On the TPU MXU, per-pixel gather/scatter costs
+    more than the dense convolution it would save (the whole framework's
+    thesis is that per-*block* sparsity is the granularity that pays), so
+    the op computes densely and applies the mask — semantics identical,
+    honest about where the FLOPs go (the MAC tally counts the dense cost).
+    """
+    from blockcopy_tpu.ops.layers import conv2d
+
+    out = conv2d(ctx, name, x, w, b, stride=stride, padding=padding)
+    m = mask.astype(jnp.float32)
+    if m.ndim == 3:
+        m = m[..., None]
+    from blockcopy_tpu.ops.layers import emap
+    return emap(lambda d: d * m.astype(d.dtype), out)
