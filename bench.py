@@ -87,15 +87,19 @@ def main():
 
     fence(state)
 
-    # timed region, fenced by an actual device->host read of the result
-    t0 = time.perf_counter()
-    for t in range(args.frames):
-        state = step(params, state, staged[t % n_unique])
-    checksum = fence(state)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
+    # three independently fenced timing windows; report the median
+    # (cross-window relay drift is a few percent)
+    fps_windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for t in range(args.frames):
+            state = step(params, state, staged[t % n_unique])
+        checksum = fence(state)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(checksum)
+        fps_windows.append(args.frames * images_per_step / dt)
 
-    fps = args.frames * images_per_step / dt
+    fps = float(np.median(fps_windows))
     print(json.dumps({
         "metric": "swiftnet_rn50_blockcopy_fps_1024x2048",
         "value": round(fps, 3),

@@ -402,15 +402,39 @@ def main(argv=None):
                 f"policy state non-finite after {phase} "
                 f"(running_cost={rc}); training diverged")
 
-    if args.policy_checkpoint and model is not None and \
-            os.path.isfile(args.policy_checkpoint):
+    def load_stepper_policy(path):
+        from blockcopy_tpu.utils.checkpoint import load_npz
+        pol = stepper_state["state"]["policy"]
+        try:
+            loaded = load_npz(path, pol)
+        except KeyError:
+            # ladder-engine naming (net_params/opt_state) — translate
+            like = {"net_params": pol["params"], "bn_state": pol["bn_state"],
+                    "opt_state": pol["opt"],
+                    "running_cost": pol["running_cost"], "key": pol["key"]}
+            tr = load_npz(path, like)
+            loaded = {"params": tr["net_params"], "bn_state": tr["bn_state"],
+                      "opt": tr["opt_state"],
+                      "running_cost": tr["running_cost"], "key": tr["key"]}
+        stepper_state["state"] = {**stepper_state["state"], "policy": loaded}
+
+    if args.policy_checkpoint and os.path.isfile(args.policy_checkpoint):
         logger.info("loading policy state from %s", args.policy_checkpoint)
-        model.load_policy(args.policy_checkpoint)
+        if model is not None:
+            model.load_policy(args.policy_checkpoint)
+        elif stepper_state and "devices" not in stepper_state:
+            load_stepper_policy(args.policy_checkpoint)
     process_dataset(dataset_warmup, "warmup", args.num_clips_warmup)
     check_policy_health("warmup")
-    if args.policy_checkpoint and model is not None:
-        model.save_policy(args.policy_checkpoint)
-        logger.info("saved policy state to %s", args.policy_checkpoint)
+    if args.policy_checkpoint:
+        from blockcopy_tpu.utils.checkpoint import save_params
+        if model is not None:
+            model.save_policy(args.policy_checkpoint)
+            logger.info("saved policy state to %s", args.policy_checkpoint)
+        elif stepper_state and "devices" not in stepper_state:
+            save_params(args.policy_checkpoint,
+                        stepper_state["state"]["policy"])
+            logger.info("saved policy state to %s", args.policy_checkpoint)
     if model is not None:
         model.flops.reset_frames()
         model.policy.stats = type(model.policy.stats)()

@@ -81,3 +81,32 @@ class TestDemoDataset:
             "--block-policy", "none", "--model-checkpoint", "",
         ])
         assert results["fps"] > 0
+
+
+def test_stepper_policy_state_roundtrip(tmp_path):
+    """Speed-mode policy state (stepper naming) saves and reloads exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+    from blockcopy_tpu.models.swiftnet import (
+        SwiftNetConfig, init_swiftnet, make_apply_fn)
+    from blockcopy_tpu.utils.checkpoint import load_npz, save_params
+
+    cfg = SwiftNetConfig(backbone="resnet18")
+    st = FixedCapacityStepper(make_apply_fn(cfg),
+                              StepperConfig(block_size=128),
+                              (1, 256, 256, 3), capacity=2)
+    pol = st.init_policy_state(jax.random.PRNGKey(3))
+    pol = {**pol, "running_cost": jnp.float32(0.42)}
+    path = str(tmp_path / "pol.npz")
+    save_params(path, pol)
+    fresh = st.init_policy_state(jax.random.PRNGKey(9))
+    loaded = load_npz(path, fresh)
+    assert float(loaded["running_cost"]) == np.float32(0.42)
+    np.testing.assert_array_equal(np.asarray(loaded["key"]),
+                                  np.asarray(pol["key"]))
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["conv1"]["w"]),
+        np.asarray(pol["params"]["conv1"]["w"]))
