@@ -133,10 +133,11 @@ def main():
                        for leaf in jax.tree.leaves(gr))[None]
         return run
 
+    base_fwd = lambda p, x: policy_net_apply(p, bn_state, x,
+                                             update_stats=False)[0]
     grads = {
-        "grad_base": make_grad(
-            lambda p, x: policy_net_apply(p, bn_state, x,
-                                          update_stats=False)[0]),
+        "grad_base": make_grad(base_fwd),
+        "grad_remat": make_grad(jax.checkpoint(base_fwd)),
         "grad_affine": make_grad(make_apply(conv_bf16, bn_affine)),
         "grad_onepass": make_grad(make_apply(conv_bf16, bn_onepass)),
         "grad_bf16acts": make_grad(make_apply(conv_bf16_keep,
