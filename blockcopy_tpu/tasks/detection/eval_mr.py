@@ -156,7 +156,11 @@ def evaluate_setup(gt_by_img: Dict, dt_by_img: Dict, img_ids: Sequence,
     mrs = mrs[mrs < 2]
     if len(mrs) == 0:
         return -1.0
-    return float(np.exp(np.mean(np.log(np.maximum(mrs, 1e-10)))))
+    # protocol-exact log-average: a zero miss rate at any FPPI point makes
+    # log() -inf and the result exactly 0, as in the reference
+    # (``eval_MR_multisetup.py:478-481`` — no epsilon clamp)
+    with np.errstate(divide="ignore"):
+        return float(np.exp(np.mean(np.log(mrs))))
 
 
 class CityPersonsMREvaluator:
