@@ -73,6 +73,12 @@ def _install_blockcopy_stub():
                  is_block=lambda x: False,
                  to_tensor=lambda x: x)
     bc._parity_stub = True
+    # resolve NON-stubbed submodules (e.g. blockcopy.policy.net for the
+    # policy parity test) from the reference tree; the pre-seeded stubs
+    # below still win for the CUDA-touching utils
+    ref_pkg = os.path.join(REF, "blockcopy", "blockcopy")
+    if os.path.isdir(ref_pkg):
+        bc.__path__ = [ref_pkg]
     _module("blockcopy.utils")
     _module("blockcopy.utils.profiler", timings=_Timings())
 
