@@ -115,6 +115,93 @@ def test_policy_net_forward_parity(ref_policy_net, monkeypatch):
     assert_close_normalized(ours, ref_logits, 1e-3, "policy-logits")
 
 
+def test_full_reinforce_update_parity(monkeypatch):
+    """End-to-end REINFORCE update parity: the reference's actual
+    ``PolicyTrainRL.optim`` (information gain + running-cost EMA +
+    signed-square complexity reward + max-pooled reward + Bernoulli
+    log-prob loss + torch RMSprop) vs ours, from identical weights and the
+    reference's own sampled grid.  Pins the whole reward/loss/optimizer
+    wiring in one assertion."""
+    import blockcopy_tpu.policy.net as net
+
+    monkeypatch.setattr(net, "COMPUTE_DTYPE", jnp.float32)
+    _install_blockcopy_stub()
+    if REF_BC not in sys.path:
+        sys.path.insert(0, REF_BC)
+    import blockcopy.policy.policy as ref_policy_mod
+
+    from blockcopy_tpu.core.argparser import default_settings
+    from blockcopy_tpu.policy.policies import (
+        build_policy_from_settings as my_build)
+
+    settings = default_settings(block_policy="rl_semseg",
+                                block_num_classes=19, block_size=128)
+    torch.manual_seed(0)
+    ref_pol = ref_policy_mod.build_policy_from_settings(settings)
+    ref_pol.net.train()
+    sd0 = {k: v.clone() for k, v in ref_pol.net.state_dict().items()}
+
+    # >= 16 blocks so the reference's 1/16 count-quantization has a
+    # non-zero multiple (policy.py:141 divides by int(total/16))
+    h, w = 512, 1024
+    rs = np.random.RandomState(5)
+    frame = rs.randn(1, 3, h, w).astype(np.float32)
+    frame_state = rs.randn(1, 3, h, w).astype(np.float32)
+    outputs = (rs.randn(1, 19, h, w) * 2).astype(np.float32)
+    outputs_prev = outputs + rs.randn(1, 19, h, w).astype(np.float32)
+    prev_grid = np.ones((1, 1, h // 128, w // 128), np.float32)
+
+    meta = {"inputs": torch.from_numpy(frame),
+            "frame_state": torch.from_numpy(frame_state),
+            "output_repr": torch.from_numpy(outputs_prev),
+            "grid": torch.from_numpy(prev_grid),
+            "outputs": torch.from_numpy(outputs),
+            "outputs_prev": torch.from_numpy(outputs_prev)}
+    import random as _pyrandom
+    _pyrandom.seed(0)  # the reference count-quantization uses global random
+    meta = ref_pol(meta)          # samples ITS grid, sets perc_exec
+    sampled_grid = meta["grid"].numpy()[:, 0]  # (1, gh, gw) bool
+    meta = ref_pol.optim(meta, train=True)
+    sd1 = ref_pol.net.state_dict()
+
+    # ours: same initial weights, same grid, same inputs
+    params0, bn_state0 = convert_policy_state_dict(sd0)
+    mine = my_build(settings)
+    mine.net_params, mine.bn_state = params0, bn_state0
+    mine.running_cost = None
+    cache_x = net.assemble_policy_input(
+        jnp.asarray(frame.transpose(0, 2, 3, 1)),
+        jnp.asarray(frame_state.transpose(0, 2, 3, 1)),
+        jnp.asarray(outputs_prev.transpose(0, 2, 3, 1)),
+        jnp.asarray(prev_grid[:, 0]), 128)
+    my_meta = {"inputs": jnp.asarray(frame.transpose(0, 2, 3, 1)),
+               "outputs": jnp.asarray(outputs.transpose(0, 2, 3, 1)),
+               "outputs_prev": jnp.asarray(outputs_prev.transpose(0, 2, 3, 1)),
+               "grid": jnp.asarray(sampled_grid),
+               "perc_exec": float(meta["perc_exec"]),
+               "_rl_cache": cache_x}
+    mine.optim(my_meta, train=True)
+
+    assert abs(mine.running_cost - float(ref_pol.running_cost)) < 1e-6
+
+    params1_ref, _ = convert_policy_state_dict(sd1)
+    flat_new = jax.tree_util.tree_leaves_with_path(mine.net_params)
+    ref_new = dict(jax.tree_util.tree_leaves_with_path(params1_ref))
+    ref_old = dict(jax.tree_util.tree_leaves_with_path(params0))
+    checked = 0
+    for path, newv in flat_new:
+        d_mine = np.asarray(newv) - np.asarray(ref_old[path])
+        d_ref = np.asarray(ref_new[path]) - np.asarray(ref_old[path])
+        assert np.abs(d_ref).max() > 0, f"reference did not update {path}"
+        # atol ~3% of the RMSprop first-step magnitude lr/sqrt(1-a): where
+        # a gradient is ~0, g/sqrt(g^2) is ill-conditioned and fp32 noise
+        # across frameworks perturbs a few per-million elements
+        np.testing.assert_allclose(d_mine, d_ref, rtol=5e-3, atol=3e-5,
+                                   err_msg=str(path))
+        checked += 1
+    assert checked > 20  # every conv/bn tensor was compared
+
+
 def test_policy_net_parity_default_bf16(ref_policy_net):
     """Same comparison at the production compute dtype (bf16 convs, fp32
     statistics): on an UNTRAINED net with train-mode BN, bf16 costs ~0.1
