@@ -264,6 +264,27 @@ def csp_apply(params, x, ctx: ExecCtx, cfg: CSPConfig):
 # ---------------------------------------------------------------------------
 
 
+def csp_height2bbox(points, heights, offsets, stride=1, wh_ratio=0.41,
+                    max_shape=None):
+    """Decode height+offset predictions to xyxy boxes — semantics of the
+    reference ``mmdet/core/bbox/transforms.py:182-212`` (parity-tested
+    against it).  points (K, 2) [x, y]; heights (K, 1+); offsets (K, 2)
+    [dy, dx]."""
+    x = points[:, 0] + offsets[:, 1] * stride
+    y = points[:, 1] + offsets[:, 0] * stride
+    hgt = heights[:, 0] * stride
+    x1 = x - wh_ratio * hgt / 2
+    y1 = y - hgt * 0.5
+    x2 = x + wh_ratio * hgt / 2
+    y2 = y + hgt * 0.5
+    if max_shape is not None:
+        x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+        y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+        x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+        y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+    return jnp.stack([x1, y1, x2, y2], -1)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
                rescale_factor: float = 1.0):
@@ -291,15 +312,9 @@ def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
         points[topk], heights[topk], offsets[topk], scores[topk]
     )
 
-    # csp_height2bbox (transforms.py:182-212)
-    x = points[:, 0] + offsets[:, 1] * stride
-    y = points[:, 1] + offsets[:, 0] * stride
-    hgt = heights[:, 0] * stride
-    x1 = jnp.clip(x - cfg.wh_ratio * hgt / 2, 0, img_shape[1] - 1)
-    y1 = jnp.clip(y - hgt * 0.5, 0, img_shape[0] - 1)
-    x2 = jnp.clip(x + cfg.wh_ratio * hgt / 2, 0, img_shape[1] - 1)
-    y2 = jnp.clip(y + hgt * 0.5, 0, img_shape[0] - 1)
-    bboxes = jnp.stack([x1, y1, x2, y2], -1) / rescale_factor
+    bboxes = csp_height2bbox(points, heights, offsets, stride=stride,
+                             wh_ratio=cfg.wh_ratio,
+                             max_shape=img_shape) / rescale_factor
 
     return multiclass_nms_fixed(bboxes, scores, cfg.score_thr, cfg.nms_iou,
                                 cfg.max_per_img)

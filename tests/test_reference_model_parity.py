@@ -380,3 +380,29 @@ def test_csp_full_model_parity(ref_csp_modules):
         a = np.asarray(a)[0].transpose(2, 0, 1)
         assert a.shape == b.shape, (name, a.shape, b.shape)
         assert_close_normalized(a, b, 1e-3, f"csp-{name}")
+
+
+def test_csp_height2bbox_matches_reference():
+    """Box-decode math vs the reference's ``csp_height2bbox``
+    (``mmdet/core/bbox/transforms.py:182-212``, pure torch, file-loaded)."""
+    _install_mmdet_scaffold()  # provides the inert mmcv import
+    transforms = _load_ref_module(
+        "mmdet.core.bbox.transforms",
+        os.path.join(PEDESTRON, "mmdet", "core", "bbox", "transforms.py"))
+
+    from blockcopy_tpu.models.csp import csp_height2bbox
+
+    rs = np.random.RandomState(0)
+    k = 64
+    points = rs.uniform(0, 1024, (k, 2)).astype(np.float32)
+    heights = rs.uniform(0.1, 60, (k, 1)).astype(np.float32)
+    offsets = rs.randn(k, 2).astype(np.float32)
+    for max_shape in (None, (512, 1024)):
+        want = transforms.csp_height2bbox(
+            torch.from_numpy(points), torch.from_numpy(heights),
+            torch.from_numpy(offsets), stride=4, wh_ratio=0.41,
+            max_shape=max_shape).numpy()
+        got = np.asarray(csp_height2bbox(
+            jnp.asarray(points), jnp.asarray(heights), jnp.asarray(offsets),
+            stride=4, wh_ratio=0.41, max_shape=max_shape))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
