@@ -96,9 +96,6 @@ def roi_pool(features: jax.Array, rois: jax.Array, out_size: int = 7,
     """RoIPool (max pooling per quantized RoI bin) — ``mmdet/ops/roi_pool``
     parity; fixed 4-sample max approximation of the quantized bins keeps the
     shapes static."""
-    aligned = roi_align(features, rois, out_size, spatial_scale,
-                        sampling_ratio=2)
-    # max over the sampling grid rather than mean: redo with max reduction
     n, h, w, c = features.shape
     ys, xs = _roi_grid(rois, out_size, spatial_scale, 2)
     batch = rois[:, 0].astype(jnp.int32)
@@ -113,7 +110,6 @@ def roi_pool(features: jax.Array, rois: jax.Array, out_size: int = 7,
         vals = img[yy, xx]  # (out, out, s, s, C)
         return vals.max(axis=(2, 3))
 
-    del aligned
     return jax.vmap(one_roi)(batch, ys, xs)
 
 
