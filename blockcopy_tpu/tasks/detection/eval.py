@@ -119,6 +119,12 @@ def build_argparser():
                    help="fused fixed-capacity detection stepper: policy + "
                    "blocked CSP + on-device decode/NMS/IoU-gain as one "
                    "compiled program, zero steady-state host syncs")
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="shard clips data-parallel over an N-device mesh "
+                   "(speed mode only): each device steps one clip, policy "
+                   "gradients are pmean'd over the mesh (live replacement "
+                   "for the reference's dead multi_gpu_test, "
+                   "tools/test_city_person.py:128-190)")
     add_argparser_arguments(p)
     p.set_defaults(block_policy="rl_objectdetection", block_num_classes=1,
                    block_target=0.3, block_optim_wd=0.0001)
@@ -129,7 +135,8 @@ class _StepperDetector:
     """DetectionStepper behind the ladder engine's interface
     (``reset_temporal`` / ``simple_test``) so the eval loop is shared."""
 
-    def __init__(self, params, csp_cfg, settings, frame_shape, dtype):
+    def __init__(self, params, csp_cfg, settings, frame_shape, dtype,
+                 n_devices=1):
         import jax as _jax
 
         from blockcopy_tpu.core.stepper import StepperConfig
@@ -141,11 +148,23 @@ class _StepperDetector:
         capacity = max(1, int(round(settings["block_target"] * gh * gw)))
         self.params = params
         self.csp_cfg = csp_cfg
+        self.n_devices = n_devices
         self.stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity,
                                         dtype=dtype)
-        self.state = self.stepper.init_state(params, _jax.random.PRNGKey(1))
-        self._first = _jax.jit(self.stepper.first_step, donate_argnums=(1,))
-        self._step = _jax.jit(self.stepper.step, donate_argnums=(1,))
+        if n_devices > 1:
+            from blockcopy_tpu.parallel import clip_parallel
+
+            mesh = clip_parallel.make_mesh(n_devices)
+            self._first, self._step = clip_parallel.build_parallel_steps(
+                self.stepper, mesh)
+            self.state = clip_parallel.init_parallel_state(
+                self.stepper, params, _jax.random.PRNGKey(1), n_devices)
+        else:
+            self.state = self.stepper.init_state(params,
+                                                 _jax.random.PRNGKey(1))
+            self._first = _jax.jit(self.stepper.first_step,
+                                   donate_argnums=(1,))
+            self._step = _jax.jit(self.stepper.step, donate_argnums=(1,))
         self._frame_id = 0
 
     def reset_temporal(self):
@@ -153,14 +172,43 @@ class _StepperDetector:
         self._frame_id = 0
 
     def simple_test(self, img, img_shape=None):
-        from blockcopy_tpu.models.csp import dets_to_bbox_results
+        self.step_only(img)
+        return self.current_results()
 
+    def step_only(self, img):
+        """Step without fetching detections (keeps the program async: the
+        dets stay on-device until ``simple_test``'s conversion or
+        ``group_results`` pulls them — only the clip's final annotated frame
+        is evaluated, as in the reference ``test_city_person.py``)."""
         fn = self._first if self._frame_id == 0 else self._step
         self.state = fn(self.params, self.state, img)
         self._frame_id += 1
+
+    def current_results(self):
+        """bbox results of the latest stepped frame (single-device)."""
+        from blockcopy_tpu.models.csp import dets_to_bbox_results
+
         return dets_to_bbox_results(self.state["dets"], self.state["labels"],
                                     self.state["valid"],
                                     self.csp_cfg.num_classes)[0]
+
+    def step_group(self, frames):
+        """Mesh mode: step D clips in lockstep, ``frames (D, 1, H, W, 3)``.
+
+        Detections stay on-device; fetch them with ``group_results`` when
+        the clip ends."""
+        self.step_only(frames)
+
+    def group_results(self):
+        """Per-device bbox results from the current on-device dets."""
+        from blockcopy_tpu.models.csp import dets_to_bbox_results
+
+        dets = np.asarray(self.state["dets"])
+        labels = np.asarray(self.state["labels"])
+        valid = np.asarray(self.state["valid"])
+        return [dets_to_bbox_results(dets[d], labels[d], valid[d],
+                                     self.csp_cfg.num_classes)[0]
+                for d in range(dets.shape[0])]
 
     @property
     def policy_meta(self):
@@ -196,12 +244,19 @@ def main(argv=None):
             params = init_csp(jax.random.PRNGKey(0), cfg, dtype=dtype)
         model = CSPBlockCopy(params, cfg, settings)
 
+    if args.num_devices > 1:
+        assert args.speed_mode, "--num-devices requires --speed-mode"
+        assert not args.output_dir, \
+            "--num-devices does not support viz overlays"
     if args.speed_mode:
         assert args.block_policy == "rl_objectdetection", \
             "--speed-mode uses the fused RL stepper"
         frame_shape = (1, args.res, args.res * 2, 3)
         model = _StepperDetector(model.params, model.cfg, settings,
-                                 frame_shape, dtype)
+                                 frame_shape, dtype,
+                                 n_devices=args.num_devices)
+        if args.num_devices > 1:
+            logger.info("mesh eval: %d devices x 1 clip", args.num_devices)
 
     if args.synthetic:
         n_warm = max(args.num_clips_warmup, 0) or 2
@@ -222,7 +277,53 @@ def main(argv=None):
                                          clip_length=args.clip_length)
         evaluator = CityPersonsMREvaluator(args.ann_file)
 
+    def run_phase_mesh(ds, phase, max_clips):
+        """Mesh mode: groups of D clips step frame-synchronous, one clip per
+        device; a partial final group is padded by repeating the last clip
+        (padded results are discarded, so MR is exact for any clip count)."""
+        D = args.num_devices
+        loader = PrefetchLoader(ds, num_workers=args.workers,
+                                max_items=max_clips if max_clips >= 0 else -1)
+        logger.info("## phase %s: %d clips over %d devices", phase,
+                    len(loader), D)
+        detections = []
+        num_images = 0
+        start = time.perf_counter()
+
+        def flush(group):
+            nonlocal num_images
+            real = len(group)
+            group = group + [group[-1]] * (D - real)
+            model.reset_temporal()
+            for t in range(len(group[0][0])):
+                frames = np.stack(
+                    [np.asarray(g[0][t], np.float32) for g in group])
+                num_images += real
+                model.step_group(jnp.asarray(frames[:, None], dtype))
+            if phase == "eval":
+                results = model.group_results()
+                for d in range(real):
+                    # results[d] is the per-class array list for device d
+                    detections.extend(bbox_results_to_coco(
+                        results[d], group[d][2]["image_id"]))
+
+        group = []
+        for item in iter(loader):
+            group.append(item)
+            if len(group) == D:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+        if phase != "eval":
+            # fence the timing with a device->host read
+            model.group_results()
+        elapsed = time.perf_counter() - start
+        return detections, num_images, elapsed
+
     def run_phase(ds, phase, max_clips):
+        if getattr(model, "n_devices", 1) > 1:
+            return run_phase_mesh(ds, phase, max_clips)
         loader = PrefetchLoader(ds, num_workers=args.workers,
                                 max_items=max_clips if max_clips >= 0 else -1)
         logger.info("## phase %s: %d clips", phase, len(loader))
@@ -231,15 +332,25 @@ def main(argv=None):
         start = time.perf_counter()
         for clip, _, meta in iter(loader):
             model.reset_temporal()
+            viz = args.output_dir and phase == "eval"
+            # stepper without viz: don't pull dets to the host every frame —
+            # only the clip's final annotated frame is evaluated, so the
+            # steady state keeps the stepper's zero-host-sync property
+            lazy = isinstance(model, _StepperDetector) and not viz
             for frame_id, frame in enumerate(clip):
                 arr = jnp.asarray(np.asarray(frame, np.float32)[None], dtype)
                 num_images += 1
-                bbox_results = model.simple_test(arr,
-                                                 img_shape=meta["img_shape"])
-                if args.output_dir and phase == "eval":
+                if lazy:
+                    model.step_only(arr)
+                else:
+                    bbox_results = model.simple_test(
+                        arr, img_shape=meta["img_shape"])
+                if viz:
                     _dump_viz(args, phase, meta, frame_id,
                               np.asarray(frame, np.float32), bbox_results,
                               model)
+            if lazy:
+                bbox_results = model.current_results()
             if phase == "eval":
                 detections.extend(
                     bbox_results_to_coco([bbox_results[0] if isinstance(
@@ -249,11 +360,27 @@ def main(argv=None):
         elapsed = time.perf_counter() - start
         return detections, num_images, elapsed
 
+    def check_policy_health(phase):
+        """Phase-boundary NaN guard for the fused stepper (mirrors the
+        semseg CLI): one bad REINFORCE update would otherwise silently
+        corrupt the policy for the rest of the run."""
+        if not args.speed_mode:
+            return
+        pol = model.state["policy"]
+        rc = np.asarray(pol["running_cost"])
+        w = np.asarray(jnp.sum(pol["params"]["conv1"]["w"]))
+        if not (np.isfinite(rc).all() and np.isfinite(w)):
+            raise FloatingPointError(
+                f"policy state non-finite after {phase} "
+                f"(running_cost={rc}); training diverged")
+
     run_phase(ds_warm, "warmup", args.num_clips_warmup)
+    check_policy_health("warmup")
     if not args.speed_mode:
         model.flops.reset_frames()
     dets, num_images, elapsed = run_phase(ds_eval, "eval",
                                           args.num_clips_eval)
+    check_policy_health("eval")
 
     if args.out:
         with open(args.out, "w") as f:
