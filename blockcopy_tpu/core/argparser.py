@@ -47,6 +47,14 @@ def add_argparser_arguments(parser):
                         help="cost momentum")
     parser.add_argument("--block-policy-verbose", action="store_true",
                         help="print debug info for policy training")
+    parser.add_argument(
+        "--block-policy-arch", type=str, default="ref",
+        choices=["ref", "fast"],
+        help="policy net architecture (TPU extension beyond the reference "
+        "flag set): 'ref' = the reference PolicyNet (parity-tested), "
+        "'fast' = TPU-native space-to-depth trunk with the same REINFORCE "
+        "machinery (~3x fewer activation bytes)",
+    )
     return parser
 
 
@@ -65,6 +73,7 @@ def default_settings(**overrides) -> dict:
         block_train_interval=4,
         block_cost_momentum=0.9,
         block_policy_verbose=False,
+        block_policy_arch="ref",
         block_quantize_number_exec=1.0 / 16.0,
     )
     s.update(overrides)

@@ -130,6 +130,7 @@ class BlockCopyModel:
             self.flops.policy_macs = policy_net_macs(
                 int(h * scale), int(w * scale),
                 self.settings.get("block_num_classes", 19),
+                arch=self.settings.get("block_policy_arch", "ref"),
             )
 
     # -- compiled steps -----------------------------------------------------

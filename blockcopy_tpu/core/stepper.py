@@ -63,6 +63,10 @@ class StepperConfig:
     weight_decay: float = 1e-3
     momentum: float = 0.0
     num_classes: int = 19
+    # 'ref' = the reference PolicyNet architecture (parity-tested);
+    # 'fast' = TPU-native space-to-depth trunk (policy/net.py), same
+    # REINFORCE machinery, ~3x fewer activation bytes
+    policy_arch: str = "ref"
 
     @classmethod
     def from_settings(cls, s: dict) -> "StepperConfig":
@@ -76,6 +80,7 @@ class StepperConfig:
             weight_decay=s["block_optim_wd"],
             momentum=s["block_optim_momentum"],
             num_classes=s["block_num_classes"],
+            policy_arch=s.get("block_policy_arch", "ref"),
         )
 
 
@@ -145,7 +150,8 @@ class FixedCapacityStepper:
 
     def init_policy_state(self, key) -> Dict:
         params, bn_state = init_policy_net(
-            key, policy_in_channels(self.cfg.num_classes)
+            key, policy_in_channels(self.cfg.num_classes),
+            arch=self.cfg.policy_arch,
         )
         return {
             "params": params,
@@ -211,7 +217,8 @@ class FixedCapacityStepper:
             _, h, w, _ = self.frame_shape
             scale = 0.25 * 128 / self.cfg.block_size
             breakdown["policy"] = policy_net_macs(
-                int(h * scale), int(w * scale), self.cfg.num_classes)
+                int(h * scale), int(w * scale), self.cfg.num_classes,
+                arch=self.cfg.policy_arch)
         return breakdown
 
     def reset_temporal(self, state: Dict) -> Dict:
@@ -288,7 +295,8 @@ class FixedCapacityStepper:
             else:
                 def loss_fn(p):
                     lg, _ = policy_net_apply(p, pol["bn_state"], cache_x,
-                                             update_stats=False)
+                                             update_stats=False,
+                                             arch=self.cfg.policy_arch)
                     l = lg[..., 0]
                     logp = grid_f * jax.nn.log_sigmoid(l) \
                         + (1 - grid_f) * jax.nn.log_sigmoid(-l)
@@ -352,7 +360,8 @@ class FixedCapacityStepper:
         # backward only runs every train_interval frames.  The backward
         # recomputes its own forward inside the lax.cond instead.
         logits, bn_state = policy_net_apply(pol["params"], pol["bn_state"],
-                                            cache_x, update_stats=True)
+                                            cache_x, update_stats=True,
+                                            arch=self.cfg.policy_arch)
         probs = jax.nn.sigmoid(logits[..., 0])
         grid = self._sample_grid(k_use, probs)
         grid_f = grid.astype(jnp.float32)

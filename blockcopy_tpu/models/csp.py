@@ -412,7 +412,8 @@ class CSPBlockCopy:
             scale = 0.25 * 128 / self.block_size
             self.flops.policy_macs = policy_net_macs(
                 int(h * scale), int(w * scale),
-                self.settings.get("block_num_classes", 1))
+                self.settings.get("block_num_classes", 1),
+                arch=self.settings.get("block_policy_arch", "ref"))
 
     def _get_step(self, capacity):
         step = self._steps.get(capacity)

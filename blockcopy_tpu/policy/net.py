@@ -78,8 +78,59 @@ def _basic_block_init(key, cin, cout, stride):
     return p, s
 
 
-def init_policy_net(key, in_channels: int, width_factor: int = 2):
-    """ResNet-8 ([1,1,1] BasicBlocks) trunk + head.  Returns (params, bn_state)."""
+S2D = 4  # space-to-depth factor of the "fast" arch stem
+
+
+def _space_to_depth(x, r: int):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // r, w // r, r * r * c)
+
+
+def _init_policy_net_fast(key, in_channels: int, width: int = 128):
+    """TPU-native policy trunk (``arch='fast'``): a space-to-depth-4 stem
+    moves ALL convolution to 1/16 of the input positions with 4x the
+    channels.  Same FLOP budget as the reference arch but ~4x fewer
+    activation bytes and MXU-sized channel counts — the policy step is
+    HBM-bandwidth-bound, not FLOP-bound, so this is the lever that matters
+    (see docs/NEXT_ROUND.md bisection: stride-1 32-channel convs at 256x512
+    dominate the REINFORCE cost).  Output stride stays /32 overall
+    (s2d/4 * block2/2 * head0/2 * head1/2), so logits land exactly on the
+    block grid like the reference arch."""
+    c0 = in_channels * S2D * S2D
+    c1, c2 = width, 2 * width
+    ks = jax.random.split(key, 5)
+    params: Dict = {"stem": _conv_init(ks[0], 1, 1, c0, c1),
+                    "stem_bn": _bn_init(c1)}
+    bn_state: Dict = {"stem_bn": _bn_state_init(c1)}
+    params["block1"], bn_state["block1"] = _basic_block_init(ks[1], c1, c1, 1)
+    params["block2"], bn_state["block2"] = _basic_block_init(ks[2], c1, c2, 2)
+    params["head0"] = _conv_init(ks[3], 3, 3, c2, c2)
+    params["head0_bn"] = _bn_init(c2)
+    bn_state["head0_bn"] = _bn_state_init(c2)
+    # zero-init the logit head: initial probs are a uniform 0.5 everywhere.
+    # The reference init (normal, fan-out 9) makes initial logits huge and
+    # input-correlated; under the early complexity crush that bakes in a
+    # spatially-biased policy the information gain then has to unlearn
+    # (measured: bright moving regions started at prob 0.06 and needed
+    # hundreds of frames to recover).  A zero head is the standard RL
+    # policy-head init and removes the transient entirely.
+    params["head1"] = {"w": jnp.zeros((3, 3, c2, 1), jnp.float32),
+                       "b": jnp.zeros((1,), jnp.float32)}
+    return params, bn_state
+
+
+def init_policy_net(key, in_channels: int, width_factor: int = 2,
+                    arch: str = "ref"):
+    """ResNet-8 ([1,1,1] BasicBlocks) trunk + head.  Returns (params, bn_state).
+
+    ``arch='ref'`` is the reference architecture (parity-tested against the
+    torch PolicyNet); ``arch='fast'`` is the TPU-native space-to-depth trunk
+    (same reward/update machinery, ~3x cheaper in bytes)."""
+    if arch == "fast":
+        return _init_policy_net_fast(key, in_channels)
+    assert arch == "ref", arch
     w = width_factor
     c1, c2, c3 = 16 * w, 32 * w, 64 * w
     ks = jax.random.split(key, 8)
@@ -154,12 +205,35 @@ def _basic_block(x, p, s, stride, update_stats):
     return jnp.maximum(out, 0), s
 
 
-def policy_net_apply(params, bn_state, x, update_stats: bool = True):
+def _policy_net_fast_apply(params, bn_state, x, update_stats: bool):
+    s = jax.tree.map(lambda a: a, bn_state)  # shallow copy
+    x = _space_to_depth(x, S2D)
+    x = _conv(x, params["stem"], 1)
+    x, s["stem_bn"] = _bn_train(x, params["stem_bn"], s["stem_bn"],
+                                update_stats)
+    x = jnp.maximum(x, 0)
+    x, s["block1"] = _basic_block(x, params["block1"], s["block1"], 1,
+                                  update_stats)
+    x, s["block2"] = _basic_block(x, params["block2"], s["block2"], 2,
+                                  update_stats)
+    x = _conv(x, params["head0"], 2)
+    x, s["head0_bn"] = _bn_train(x, params["head0_bn"], s["head0_bn"],
+                                 update_stats)
+    x = jnp.maximum(x, 0)
+    logits = _conv(x, params["head1"], 2)
+    return logits, s
+
+
+def policy_net_apply(params, bn_state, x, update_stats: bool = True,
+                     arch: str = "ref"):
     """x: (N, H/4, W/4, Cin) float32 -> logits (N, H/bs, W/bs, 1).
 
     ``update_stats=False`` is used when the forward is re-traced inside the
     REINFORCE loss (gradients flow through this apply; running stats must not
     double-update)."""
+    if arch == "fast":
+        return _policy_net_fast_apply(params, bn_state, x, update_stats)
+    assert arch == "ref", arch
     s = jax.tree.map(lambda a: a, bn_state)  # shallow copy
     x = _conv(x, params["conv1"], 1)
     x, s["bn1"] = _bn_train(x, params["bn1"], s["bn1"], update_stats)

@@ -83,6 +83,7 @@ def build_policy_from_settings(settings: dict):
             information_gain=ig,
             verbose=verbose,
             seed=settings.get("block_seed", 0),
+            arch=settings.get("block_policy_arch", "ref"),
         )
     raise NotImplementedError(f"Policy {name} not implemented")
 
@@ -224,7 +225,7 @@ class PolicyTrainRL(Policy):
     def __init__(self, block_size, block_target, cost_momentum, lr,
                  weight_decay, momentum, complexity_weight, num_classes,
                  information_gain, quantize=1.0 / 16.0, at_least_one=False,
-                 verbose=False, seed=0):
+                 verbose=False, seed=0, arch="ref"):
         super().__init__(block_size, verbose, quantize, seed)
         assert 0.0 <= block_target <= 1.0
         self.block_target = block_target
@@ -236,10 +237,11 @@ class PolicyTrainRL(Policy):
         self.num_classes = num_classes
         self.information_gain = information_gain
         self.at_least_one = at_least_one
+        self.arch = arch
         self.running_cost: Optional[float] = None
 
         self.net_params, self.bn_state = init_policy_net(
-            self._next_key(), policy_in_channels(num_classes)
+            self._next_key(), policy_in_channels(num_classes), arch=arch
         )
         self.opt_state = rmsprop.init(self.net_params)
         self._forward_jit = jax.jit(self._forward_impl)
@@ -252,7 +254,8 @@ class PolicyTrainRL(Policy):
         x = assemble_policy_input(frame, frame_state, output_repr, prev_grid,
                                   self.block_size)
         logits, new_bn_state = policy_net_apply(params, bn_state, x,
-                                                update_stats=True)
+                                                update_stats=True,
+                                                arch=self.arch)
         k1, k2 = jax.random.split(key)
         probs = jax.nn.sigmoid(logits[..., 0])
         u = jax.random.uniform(k1, probs.shape)
@@ -275,7 +278,7 @@ class PolicyTrainRL(Policy):
 
         def loss_fn(p):
             logits, _ = policy_net_apply(p, bn_state, cache_x,
-                                         update_stats=False)
+                                         update_stats=False, arch=self.arch)
             l = logits[..., 0]
             g = grid.astype(jnp.float32)
             log_probs = g * jax.nn.log_sigmoid(l) + (1 - g) * jax.nn.log_sigmoid(-l)

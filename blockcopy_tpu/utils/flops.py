@@ -14,7 +14,7 @@ from __future__ import annotations
 
 
 def policy_net_macs(policy_h: int, policy_w: int, num_classes: int,
-                    width_factor: int = 2) -> float:
+                    width_factor: int = 2, arch: str = "ref") -> float:
     """MACs of one PolicyNet forward at policy input resolution
     (= frame/4 * 128/block_size; see ``policy/net.py``).
 
@@ -22,6 +22,20 @@ def policy_net_macs(policy_h: int, policy_w: int, num_classes: int,
     """
     h, w = policy_h, policy_w
     cin = 3 + 3 + num_classes + 1
+    if arch == "fast":
+        # space-to-depth-4 stem: all convs at 1/16 the positions
+        h, w = h // 4, w // 4
+        c0, c1, c2 = cin * 16, 128, 256
+        m = float(h * w * c1 * c0)                 # stem 1x1
+        m += 2 * h * w * c1 * c1 * 9               # block1
+        h, w = h // 2, w // 2                      # block2 (stride 2)
+        m += h * w * c2 * c1 * 9 + h * w * c2 * c2 * 9 + h * w * c2 * c1
+        h, w = h // 2, w // 2                      # head0 (stride 2)
+        m += h * w * c2 * c2 * 9
+        h, w = h // 2, w // 2                      # head1 -> 1 logit
+        m += h * w * 1 * c2 * 9
+        return m
+    assert arch == "ref", arch
     c1, c2, c3 = 16 * width_factor, 32 * width_factor, 64 * width_factor
     m = 0.0
     m += h * w * c1 * cin * 9                      # conv1 3x3

@@ -71,6 +71,60 @@ class TestStepper:
         p3 = np.asarray(jax.tree_util.tree_leaves(state["policy"]["params"])[0])
         np.testing.assert_array_equal(p2, p3)
 
+    def test_fast_policy_arch_clip_loop(self, params):
+        """Speed mode with the TPU-native 'fast' policy arch: steps, holds
+        capacity, and the REINFORCE update trains the fast net."""
+        cfg = StepperConfig(block_size=BS, train_interval=2,
+                            policy_arch="fast")
+        stepper = FixedCapacityStepper(make_apply_fn(CFG), cfg, FRAME_SHAPE,
+                                       capacity=4)
+        state = stepper.init_state(params, jax.random.PRNGKey(7))
+        assert "stem" in state["policy"]["params"]  # fast-arch pytree
+        first = jax.jit(stepper.first_step)
+        step = jax.jit(stepper.step)
+        fs = frames(4)
+        state = first(params, state, fs[0])
+        p0 = np.asarray(
+            jax.tree_util.tree_leaves(state["policy"]["params"])[0])
+        for f in fs[1:]:
+            state = step(params, state, f)
+        assert float(state["prev_grid"].sum()) == stepper.capacity
+        assert np.isfinite(np.asarray(state["outputs"])).all()
+        p3 = np.asarray(
+            jax.tree_util.tree_leaves(state["policy"]["params"])[0])
+        assert not np.array_equal(p0, p3)
+        assert stepper.macs_breakdown_per_step(params)["policy"] > 0
+
+    def test_fast_policy_arch_motion_preference(self, params):
+        """Real-loop convergence bar for the fast arch: with a bright square
+        moving only in the LEFT half, the trained policy must execute left
+        blocks more than right blocks (information gain here is the real
+        one — nonzero only where blocks actually executed)."""
+        scfg = StepperConfig(block_size=64, block_target=0.25,
+                             train_interval=2, policy_arch="fast")
+        stepper = FixedCapacityStepper(make_apply_fn(CFG), scfg,
+                                       FRAME_SHAPE, capacity=8)  # 4x8 grid
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        first = jax.jit(stepper.first_step, donate_argnums=(1,))
+        step = jax.jit(stepper.step, donate_argnums=(1,))
+        rs = np.random.RandomState(0)
+        base = rs.randn(*FRAME_SHAPE).astype(np.float32)
+
+        def frame(t):
+            f = base.copy()
+            y, x = (23 * t) % (H - 64), (17 * t) % (W // 2 - 64)
+            f[:, y:y + 64, x:x + 64] += 2.5
+            return jnp.asarray(f)
+
+        state = first(params, state, frame(0))
+        grids = []
+        for t in range(1, 81):
+            state = step(params, state, frame(t))
+            grids.append(np.asarray(state["prev_grid"])[0])
+        lg = np.stack(grids[-40:])
+        left, right = lg[:, :, :4].mean(), lg[:, :, 4:].mean()
+        assert left > right, (left, right)
+
     def test_reset_temporal_keeps_policy(self, params, stepper):
         state = stepper.init_state(params, jax.random.PRNGKey(3))
         state = jax.jit(stepper.first_step)(params, state, frames(1)[0])

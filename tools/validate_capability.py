@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--eval-clips", type=int, default=4)
     ap.add_argument("--clip-length", type=int, default=10)
     ap.add_argument("--out", type=str, default="VALIDATION.json")
+    ap.add_argument("--policy-arch", type=str, default="ref",
+                    choices=["ref", "fast"])
     args = ap.parse_args()
 
     cfg = SwiftNetConfig(backbone=args.backbone, num_classes=19)
@@ -66,6 +68,7 @@ def main():
     settings = default_settings(
         block_policy="rl_semseg", block_target=args.target,
         block_quantize_number_exec=1.0 / 8.0,
+        block_policy_arch=args.policy_arch,
     )
     model = BlockCopyModel(make_apply_fn(cfg), params, settings)
     dense = jax.jit(lambda x: jnp.argmax(
@@ -116,6 +119,7 @@ def main():
     tail = exec_rates[-4 * args.clip_length:]
     results = {
         "target": args.target,
+        "policy_arch": args.policy_arch,
         "exec_rate_final_mean": float(np.mean(tail)),
         "running_cost": float(model.policy.running_cost),
         "agreement_vs_dense": float(np.mean(agree)),
