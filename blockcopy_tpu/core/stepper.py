@@ -352,6 +352,10 @@ class FixedCapacityStepper:
         cache_x = assemble_policy_input(
             frame, fs_dense, self._output_repr(state), state["prev_grid"],
             self.cfg.block_size,
+            # fast arch: bf16 assembly (convs run bf16 anyway; halves the
+            # input-assembly and space-to-depth bytes); ref arch stays fp32
+            dtype=jnp.bfloat16 if self.cfg.policy_arch == "fast"
+            else jnp.float32,
         )
 
         # NOTE: a jax.vjp restructure (reuse this forward's residuals for the

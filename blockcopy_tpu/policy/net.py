@@ -258,20 +258,26 @@ def assemble_policy_input(
     output_repr: jax.Array,
     prev_grid: jax.Array,
     block_size: int,
+    dtype=jnp.float32,
 ) -> jax.Array:
     """Build the policy net input at 1/4 * (128/block_size) scale
     (reference ``policy/net.py:78-113``): nearest-resized frame ++ frame_state
-    ++ (output_repr - 0.5) ++ (prev_grid - 0.5)."""
+    ++ (output_repr - 0.5) ++ (prev_grid - 0.5).
+
+    ``dtype``: fp32 for the reference arch (parity); the fast arch passes
+    bfloat16 — its convs run bf16 anyway, and halving the assembled-input
+    bytes also halves the space-to-depth transpose traffic."""
     n, h, w, _ = frame.shape
     scale = 0.25 * 128 / block_size
     oh, ow = int(h * scale), int(w * scale)
     feats = [
-        resize_nearest(frame.astype(jnp.float32), (oh, ow)),
-        resize_nearest(frame_state.astype(jnp.float32), (oh, ow)),
-        resize_nearest(output_repr.astype(jnp.float32), (oh, ow)) - 0.5,
+        resize_nearest(frame.astype(dtype), (oh, ow)),
+        resize_nearest(frame_state.astype(dtype), (oh, ow)),
+        resize_nearest(output_repr.astype(dtype), (oh, ow)) - jnp.asarray(
+            0.5, dtype),
         resize_nearest(
-            prev_grid.astype(jnp.float32)[..., None], (oh, ow)
-        ) - 0.5,
+            prev_grid.astype(dtype)[..., None], (oh, ow)
+        ) - jnp.asarray(0.5, dtype),
     ]
     return jax.lax.stop_gradient(jnp.concatenate(feats, axis=-1))
 
