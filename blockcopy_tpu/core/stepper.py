@@ -221,6 +221,22 @@ class FixedCapacityStepper:
                 arch=self.cfg.policy_arch)
         return breakdown
 
+    @staticmethod
+    def check_policy_finite(policy_state: Dict, phase: str) -> None:
+        """Phase-boundary NaN guard shared by both CLIs: one bad REINFORCE
+        update would otherwise silently corrupt the policy for the rest of
+        the run.  Arch-agnostic (checks running_cost + the first param
+        leaf); cheap enough to call once per phase."""
+        import numpy as np
+
+        rc = np.asarray(policy_state["running_cost"])
+        w = np.asarray(jnp.sum(
+            jax.tree_util.tree_leaves(policy_state["params"])[0]))
+        if not (np.isfinite(rc).all() and np.isfinite(w)):
+            raise FloatingPointError(
+                f"policy state non-finite after {phase} "
+                f"(running_cost={rc}); training diverged")
+
     def reset_temporal(self, state: Dict) -> Dict:
         """New clip: reset the frame counter (canvases are fully overwritten
         by the all-exec first frame; policy state persists across clips like

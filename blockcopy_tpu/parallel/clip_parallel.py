@@ -31,6 +31,12 @@ AXIS = "data"
 def make_mesh(n_devices: int = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silent truncation would shard D-stacked state over fewer
+            # devices and drop clips without any error downstream
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                f"available")
         devices = devices[:n_devices]
     return Mesh(devices, axis_names=(AXIS,))
 

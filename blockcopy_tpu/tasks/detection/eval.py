@@ -179,7 +179,9 @@ class _StepperDetector:
         """Step without fetching detections (keeps the program async: the
         dets stay on-device until ``simple_test``'s conversion or
         ``group_results`` pulls them — only the clip's final annotated frame
-        is evaluated, as in the reference ``test_city_person.py``)."""
+        is evaluated, as in the reference ``test_city_person.py``).
+
+        In mesh mode ``img`` is ``(D, 1, H, W, 3)``, one clip per device."""
         fn = self._first if self._frame_id == 0 else self._step
         self.state = fn(self.params, self.state, img)
         self._frame_id += 1
@@ -191,13 +193,6 @@ class _StepperDetector:
         return dets_to_bbox_results(self.state["dets"], self.state["labels"],
                                     self.state["valid"],
                                     self.csp_cfg.num_classes)[0]
-
-    def step_group(self, frames):
-        """Mesh mode: step D clips in lockstep, ``frames (D, 1, H, W, 3)``.
-
-        Detections stay on-device; fetch them with ``group_results`` when
-        the clip ends."""
-        self.step_only(frames)
 
     def group_results(self):
         """Per-device bbox results from the current on-device dets."""
@@ -299,7 +294,7 @@ def main(argv=None):
                 frames = np.stack(
                     [np.asarray(g[0][t], np.float32) for g in group])
                 num_images += real
-                model.step_group(jnp.asarray(frames[:, None], dtype))
+                model.step_only(jnp.asarray(frames[:, None], dtype))
             if phase == "eval":
                 results = model.group_results()
                 for d in range(real):
@@ -361,18 +356,10 @@ def main(argv=None):
         return detections, num_images, elapsed
 
     def check_policy_health(phase):
-        """Phase-boundary NaN guard for the fused stepper (mirrors the
-        semseg CLI): one bad REINFORCE update would otherwise silently
-        corrupt the policy for the rest of the run."""
         if not args.speed_mode:
             return
-        pol = model.state["policy"]
-        rc = np.asarray(pol["running_cost"])
-        w = np.asarray(jnp.sum(pol["params"]["conv1"]["w"]))
-        if not (np.isfinite(rc).all() and np.isfinite(w)):
-            raise FloatingPointError(
-                f"policy state non-finite after {phase} "
-                f"(running_cost={rc}); training diverged")
+        from blockcopy_tpu.core.stepper import FixedCapacityStepper
+        FixedCapacityStepper.check_policy_finite(model.state["policy"], phase)
 
     run_phase(ds_warm, "warmup", args.num_clips_warmup)
     check_policy_health("warmup")

@@ -388,19 +388,14 @@ def main(argv=None):
         return None
 
     def check_policy_health(phase):
-        """Cheap phase-boundary NaN guard for the fused stepper (one bad
-        REINFORCE update would otherwise corrupt the policy silently;
-        the ladder engine has per-update guards under --block-policy-verbose
+        """Phase-boundary NaN guard for the fused stepper (the ladder
+        engine has per-update guards under --block-policy-verbose
         instead)."""
         if not stepper_state:
             return
-        pol = stepper_state["state"]["policy"]
-        rc = np.asarray(pol["running_cost"])
-        w = np.asarray(jnp.sum(pol["params"]["conv1"]["w"]))
-        if not (np.isfinite(rc).all() and np.isfinite(w)):
-            raise FloatingPointError(
-                f"policy state non-finite after {phase} "
-                f"(running_cost={rc}); training diverged")
+        from blockcopy_tpu.core.stepper import FixedCapacityStepper
+        FixedCapacityStepper.check_policy_finite(
+            stepper_state["state"]["policy"], phase)
 
     def load_stepper_policy(path):
         from blockcopy_tpu.utils.checkpoint import load_npz

@@ -21,3 +21,19 @@ def test_mesh_eval_matches_single_device():
     assert abs(r1["Mean IoU"] - r8["Mean IoU"]) < 0.02, (r1, r8)
     assert r8["perc_exec"] == r1["perc_exec"]
     assert r8["gmacs_per_image"] == r1["gmacs_per_image"]
+
+
+def test_speed_mode_fast_arch_cli():
+    """Regression: the CLI's phase-boundary NaN guard must be arch-agnostic
+    (it used to index the ref-arch 'conv1' key and crashed any
+    --block-policy-arch fast run after warmup)."""
+    r = main(COMMON + ["--num-devices", "1", "--block-policy-arch", "fast"])
+    assert r["fps"] > 0
+
+
+def test_num_devices_over_available_rejected():
+    import pytest
+    from blockcopy_tpu.parallel.clip_parallel import make_mesh
+
+    with pytest.raises(ValueError, match="available"):
+        make_mesh(1000)
