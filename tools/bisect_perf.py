@@ -128,7 +128,9 @@ def main():
 
         def apply_body(pack, ctx):
             if with_fs:
-                ctx.store_dense(FRAME_STATE, pack)
+                # production semantics: frame state stored at policy
+                # resolution (stepper._store_frame_state), not full res
+                stepper._store_frame_state(ctx, pack)
             out = body(pack, ctx)
             if with_dense_out:
                 ctx.store_dense(OUT, out)
