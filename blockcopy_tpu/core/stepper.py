@@ -273,19 +273,14 @@ class FixedCapacityStepper:
         grid = (rank < self.capacity).reshape(probs.shape)
         return grid
 
-    def _policy_optim(self, state, grid_f, cache_x, psum_axis: Optional[str],
-                      logits=None, net_vjp=None):
+    def _policy_optim(self, state, grid_f, cache_x, psum_axis: Optional[str]):
         """REINFORCE update (lax.cond'd on the train interval).
 
-        When the caller provides the sampling forward's ``(logits, net_vjp)``
-        (``jax.vjp`` pair from ``step``), the gradient is computed as the
-        analytic logit cotangent pulled back through that same forward —
-        d(mean(-logp·signed))/dl = -(grid - sigmoid(l))·signed/N — so the
-        policy net runs ONCE per frame instead of re-running under
-        ``jax.grad`` on train frames.  Without it (standalone callers), the
-        loss is re-traced and differentiated as before; both paths compute
-        identical gradients (same batch statistics).
-        """
+        The backward re-traces the policy forward inside the cond; a
+        ``jax.vjp`` residual-reuse restructure was measured SLOWER
+        end-to-end (residual storage taxes every frame while the backward
+        runs only every ``train_interval`` frames — see the NOTE in
+        ``step``)."""
         cfg = self.cfg
         pol = state["policy"]
         perc = grid_f.mean()
@@ -304,21 +299,16 @@ class FixedCapacityStepper:
             signed = jnp.where(grid_f > 0, reward_grid, -reward_grid)
             signed = jax.lax.stop_gradient(signed)
 
-            if net_vjp is not None:
-                l = logits[..., 0]
-                dlogits = -(grid_f - jax.nn.sigmoid(l)) * signed / l.size
-                grads, = net_vjp(dlogits[..., None])
-            else:
-                def loss_fn(p):
-                    lg, _ = policy_net_apply(p, pol["bn_state"], cache_x,
-                                             update_stats=False,
-                                             arch=self.cfg.policy_arch)
-                    l = lg[..., 0]
-                    logp = grid_f * jax.nn.log_sigmoid(l) \
-                        + (1 - grid_f) * jax.nn.log_sigmoid(-l)
-                    return jnp.mean(-logp * signed)
+            def loss_fn(p):
+                lg, _ = policy_net_apply(p, pol["bn_state"], cache_x,
+                                         update_stats=False,
+                                         arch=self.cfg.policy_arch)
+                l = lg[..., 0]
+                logp = grid_f * jax.nn.log_sigmoid(l) \
+                    + (1 - grid_f) * jax.nn.log_sigmoid(-l)
+                return jnp.mean(-logp * signed)
 
-                grads = jax.grad(loss_fn)(params)
+            grads = jax.grad(loss_fn)(params)
             if psum_axis is not None:
                 grads = jax.lax.pmean(grads, psum_axis)
             return rmsprop.update(grads, opt, params, lr=cfg.lr,

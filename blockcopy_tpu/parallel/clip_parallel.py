@@ -41,16 +41,18 @@ def make_mesh(n_devices: int = None, devices=None) -> Mesh:
     return Mesh(devices, axis_names=(AXIS,))
 
 
-def stack_states(states) -> dict:
-    """Stack per-clip stepper states along a new leading device axis."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-
-
 def init_parallel_state(stepper: FixedCapacityStepper, model_params, key,
                         n_devices: int) -> dict:
-    keys = jax.random.split(key, n_devices)
-    states = [stepper.init_state(model_params, k) for k in keys]
-    return stack_states(states)
+    """One replicated state: policy params/optimizer start IDENTICAL on
+    every device (they stay in sync because gradients are pmean'd), while
+    the per-device sampling keys differ so each clip explores its own
+    grids."""
+    k_init, k_samp = jax.random.split(key)
+    base = stepper.init_state(model_params, k_init)
+    state = jax.tree.map(lambda x: jnp.stack([x] * n_devices), base)
+    state["policy"] = {**state["policy"],
+                       "key": jax.random.split(k_samp, n_devices)}
+    return state
 
 
 def build_parallel_steps(stepper: FixedCapacityStepper, mesh: Mesh):

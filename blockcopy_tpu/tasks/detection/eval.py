@@ -288,6 +288,10 @@ def main(argv=None):
         def flush(group):
             nonlocal num_images
             real = len(group)
+            lengths = {len(g[0]) for g in group}
+            assert len(lengths) == 1, \
+                f"mesh groups step frame-synchronous and need equal clip " \
+                f"lengths, got {sorted(lengths)}"
             group = group + [group[-1]] * (D - real)
             model.reset_temporal()
             for t in range(len(group[0][0])):

@@ -84,8 +84,11 @@ def main(argv=None):
         raise AttributeError("need --synthetic or --ann-file/--img-prefix")
 
     csp_cfg = CSPConfig()
+    # iters_per_epoch counts OPTIMIZER steps (the unit `step` advances in),
+    # i.e. full batches per pass — not dataset samples
     tcfg = TrainConfig(lr=args.lr, warmup_iters=args.warmup_iters,
-                       iters_per_epoch=args.steps_per_epoch or len(dataset))
+                       iters_per_epoch=args.steps_per_epoch
+                       or max(1, len(dataset) // args.batch_size))
     params = init_csp(jax.random.PRNGKey(args.seed), csp_cfg)
     state = init_train_state(params, tcfg)
     if args.resume and os.path.isfile(args.resume):
@@ -95,8 +98,24 @@ def main(argv=None):
     train_step = jax.jit(make_train_step(csp_cfg, tcfg),
                          donate_argnums=(0,))
 
+    class _Shuffled:
+        """Per-epoch random sample order (the reference trains with a
+        shuffling sampler); also means --steps-per-epoch sees a different
+        prefix each epoch instead of replaying samples 0..N forever."""
+
+        def __init__(self, order):
+            self.order = order
+
+        def __len__(self):
+            return len(dataset)
+
+        def __getitem__(self, i):
+            return dataset[int(self.order[i])]
+
     def batches(epoch_seed):
-        loader = PrefetchLoader(dataset, num_workers=args.workers)
+        order = np.random.RandomState(args.seed + 7919 * epoch_seed) \
+            .permutation(len(dataset))
+        loader = PrefetchLoader(_Shuffled(order), num_workers=args.workers)
         group = []
         for item in loader:
             group.append(item)
@@ -114,6 +133,7 @@ def main(argv=None):
         t0 = time.perf_counter()
         n_steps = 0
         last = {}
+        losses = None
         for imgs, gt_maps in batches(epoch):
             state, losses = train_step(state, imgs, gt_maps)
             n_steps += 1
@@ -125,6 +145,10 @@ def main(argv=None):
                     first_losses = last
             if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
                 break
+        if losses is None:
+            raise RuntimeError(
+                f"epoch {epoch + 1}: no full batch produced — dataset has "
+                f"{len(dataset)} samples for --batch-size {args.batch_size}")
         if not last:
             last = {k: float(v) for k, v in losses.items()}
         history.append(last)

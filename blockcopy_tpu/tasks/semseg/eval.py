@@ -302,8 +302,15 @@ def main(argv=None):
                     group = []
             if group and bsize == 1:
                 yield _collate(group)
-            # partial batches are dropped for bsize>1: temporal state and
-            # compiled programs are shape-static per batch size
+            elif group:
+                # partial batches are dropped for bsize>1: temporal state
+                # and compiled programs are shape-static per batch size
+                # (reference batch>1 speed configs do the same via the
+                # torch DataLoader's drop_last)
+                logger.warning(
+                    "dropping %d tail clip(s) not filling a group of %d; "
+                    "use a clip count divisible by the group size to "
+                    "evaluate them", len(group), bsize)
 
         def _collate(group):
             clips = [g[0] for g in group]
@@ -400,35 +407,52 @@ def main(argv=None):
     def load_stepper_policy(path):
         from blockcopy_tpu.utils.checkpoint import load_npz
         pol = stepper_state["state"]["policy"]
+        d = stepper_state.get("devices", 0)
+        # checkpoints are single-replica: load flat, then broadcast over the
+        # mesh (sampling keys stay distinct per device so clips explore
+        # independently)
+        like = jax.tree.map(lambda x: x[0], pol) if d else pol
         try:
-            loaded = load_npz(path, pol)
+            loaded = load_npz(path, like)
         except KeyError:
             # ladder-engine naming (net_params/opt_state) — translate
-            like = {"net_params": pol["params"], "bn_state": pol["bn_state"],
-                    "opt_state": pol["opt"],
-                    "running_cost": pol["running_cost"], "key": pol["key"]}
-            tr = load_npz(path, like)
+            like2 = {"net_params": like["params"],
+                     "bn_state": like["bn_state"],
+                     "opt_state": like["opt"],
+                     "running_cost": like["running_cost"],
+                     "key": like["key"]}
+            tr = load_npz(path, like2)
             loaded = {"params": tr["net_params"], "bn_state": tr["bn_state"],
                       "opt": tr["opt_state"],
                       "running_cost": tr["running_cost"], "key": tr["key"]}
+        if d:
+            loaded = jax.tree.map(lambda x: jnp.stack([x] * d), loaded)
+            loaded["key"] = pol["key"]
         stepper_state["state"] = {**stepper_state["state"], "policy": loaded}
 
+    def save_stepper_policy(path):
+        from blockcopy_tpu.utils.checkpoint import save_params
+        pol = stepper_state["state"]["policy"]
+        if stepper_state.get("devices", 0):
+            # replicas share params (pmean'd grads): device 0 is canonical
+            pol = jax.tree.map(lambda x: x[0], pol)
+        save_params(path, pol)
+
     if args.policy_checkpoint and os.path.isfile(args.policy_checkpoint):
-        logger.info("loading policy state from %s", args.policy_checkpoint)
         if model is not None:
+            logger.info("loading policy state from %s", args.policy_checkpoint)
             model.load_policy(args.policy_checkpoint)
-        elif stepper_state and "devices" not in stepper_state:
+        elif stepper_state:
+            logger.info("loading policy state from %s", args.policy_checkpoint)
             load_stepper_policy(args.policy_checkpoint)
     process_dataset(dataset_warmup, "warmup", args.num_clips_warmup)
     check_policy_health("warmup")
     if args.policy_checkpoint:
-        from blockcopy_tpu.utils.checkpoint import save_params
         if model is not None:
             model.save_policy(args.policy_checkpoint)
             logger.info("saved policy state to %s", args.policy_checkpoint)
-        elif stepper_state and "devices" not in stepper_state:
-            save_params(args.policy_checkpoint,
-                        stepper_state["state"]["policy"])
+        elif stepper_state:
+            save_stepper_policy(args.policy_checkpoint)
             logger.info("saved policy state to %s", args.policy_checkpoint)
     if model is not None:
         model.flops.reset_frames()

@@ -149,15 +149,23 @@ class TestClipParallel:
         rs = np.random.RandomState(5)
         fb1 = jnp.asarray(rs.randn(n_dev, *FRAME_SHAPE).astype(np.float32))
         fb2 = jnp.asarray(rs.randn(n_dev, *FRAME_SHAPE).astype(np.float32))
+        # replicated start: conv weights identical, sampling keys distinct
+        # (regression: leaves[0] is a zero-init BN beta, identical for ANY
+        # seed — the sync check must use a drawn weight)
+        w0 = np.asarray(state["policy"]["params"]["conv1"]["w"])
+        for d in range(1, n_dev):
+            np.testing.assert_array_equal(w0[0], w0[d])
+        kk = np.asarray(state["policy"]["key"])
+        assert len({tuple(k) for k in kk.tolist()}) == n_dev
         state = first(params, state, fb1)
         state = step(params, state, fb2)
         outs = np.asarray(state["outputs"])
         assert outs.shape == (n_dev, 1, H // 4, W // 4, 19)
         assert np.isfinite(outs).all()
-        # pmean'd REINFORCE: policy params identical across devices
-        pp = np.asarray(
-            jax.tree_util.tree_leaves(state["policy"]["params"])[0]
-        )
+        # pmean'd REINFORCE: policy params stay identical across devices
+        # after a training step
+        pp = np.asarray(state["policy"]["params"]["conv1"]["w"])
+        assert not np.array_equal(pp[0], w0[0])  # it did train
         for d in range(1, n_dev):
             np.testing.assert_array_equal(pp[0], pp[d])
         # different clips -> different grids (devices act independently)
