@@ -169,6 +169,19 @@ class TestCLI:
         assert 0.0 < results["perc_exec"] <= 1.0
         assert results["gmacs_per_image"] > 0
 
+    def test_synthetic_half_precision(self):
+        """--half end-to-end (bf16 params/frames, fp32 metrics): the bench
+        runs bf16, so the CLI path deserves the same coverage."""
+        from blockcopy_tpu.tasks.semseg import eval as cli
+        results = cli.main([
+            "--synthetic", "--res", "256", "--clip-length", "3",
+            "--num-clips-warmup", "1", "--num-clips-eval", "1",
+            "--block-policy", "rl_semseg", "--model-checkpoint", "",
+            "--half", "--speed-mode",
+        ])
+        assert results["fps"] > 0
+        assert np.isfinite(results["running_cost"])
+
 
 class TestOrbax:
     def test_roundtrip(self, tmp_path):

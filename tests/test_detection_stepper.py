@@ -91,7 +91,7 @@ class TestIoUGainParity:
 
 
 class TestDetectionStepper:
-    def _build(self):
+    def _build(self, policy_arch="ref"):
         from blockcopy_tpu.core.stepper import StepperConfig
         from blockcopy_tpu.models.csp import CSPConfig, init_csp
         from blockcopy_tpu.tasks.detection.stepper import DetectionStepper
@@ -99,10 +99,27 @@ class TestDetectionStepper:
         csp_cfg = CSPConfig(stage_blocks=(1, 1, 1, 1), nms_pre=64,
                             max_per_img=8)
         params = init_csp(jax.random.PRNGKey(0), csp_cfg)
-        scfg = StepperConfig(block_size=128, train_interval=2, num_classes=1)
+        scfg = StepperConfig(block_size=128, train_interval=2, num_classes=1,
+                             policy_arch=policy_arch)
         frame_shape = (1, 256, 256, 3)
         stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity=2)
         return stepper, params, csp_cfg, frame_shape
+
+    def test_fast_policy_arch_steps_and_trains(self):
+        """The detection stepper accepts the fast policy arch (the
+        bench_detection default) and its REINFORCE update trains."""
+        stepper, params, csp_cfg, frame_shape = self._build("fast")
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        assert "stem" in state["policy"]["params"]
+        rs = np.random.RandomState(3)
+        f = jnp.asarray(rs.randn(*frame_shape).astype(np.float32))
+        state = jax.jit(stepper.first_step)(params, state, f)
+        step = jax.jit(stepper.step)
+        p0 = np.asarray(state["policy"]["params"]["stem"]["w"])
+        state = step(params, state, f + 0.2)  # frame 2: trains (interval 2)
+        assert np.isfinite(np.asarray(state["dets"])).all()
+        p2 = np.asarray(state["policy"]["params"]["stem"]["w"])
+        assert not np.array_equal(p0, p2)
 
     def test_stepper_runs_and_trains(self):
         stepper, params, csp_cfg, frame_shape = self._build()
