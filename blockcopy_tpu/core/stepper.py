@@ -124,6 +124,9 @@ class FixedCapacityStepper:
         if k <= 1:
             small = pack
         else:
+            # NOTE: a reshape+unit-slice lowering of this sampling was
+            # A/B'd at the full-program level and measured identical
+            # (221.3 vs 219.3 FPS) — the gather is not the cost
             r = (jnp.arange(FS_BS) * k).astype(jnp.int32)
             small = dataclasses.replace(pack, data=pack.data[:, r][:, :, r])
         canvas = ctx.canvas_for(FRAME_STATE, small)
