@@ -292,6 +292,11 @@ class ExecCtx:
     # reproduced by ``macs_by_module``): shapes are static under jit, so
     # the count is exact and free.
     macs: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # Canvas names already written this frame: a second store through the
+    # same name in one frame means two call sites are silently sharing one
+    # temporal canvas (e.g. two ``to_dense`` calls with the default name),
+    # which corrupts copied blocks with the other site's features.
+    stored_names: set = dataclasses.field(default_factory=set)
 
     @classmethod
     def dense(cls) -> "ExecCtx":
@@ -381,6 +386,13 @@ class ExecCtx:
     def store_dense(self, name: str, x: BlockPack) -> jax.Array:
         """Scatter blocks into the named canvas and return the dense image —
         the reference's ``combine_()`` (``core/tensorwrapper.py:391-395``)."""
+        if name in self.stored_names:
+            raise ValueError(
+                f"canvas '{name}' was already stored this frame: two call "
+                f"sites are sharing one temporal canvas — pass distinct "
+                f"``name``s (skipped blocks would silently receive the "
+                f"other site's features)")
+        self.stored_names.add(name)
         canvas = self.canvas_for(name, x)
         canvas = scatter_pack(canvas, x)
         self.canvases[name] = canvas

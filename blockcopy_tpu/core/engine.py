@@ -26,13 +26,11 @@ from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from blockcopy_tpu.core import grid as gridlib
 from blockcopy_tpu.core.blocked import (
     BlockPack,
     ExecCtx,
-    block_layout_to_dense,
     split_dense,
 )
 from blockcopy_tpu.policy.policies import build_policy_from_settings
@@ -86,6 +84,7 @@ class BlockCopyModel:
         self.quantum = settings.get("block_quantize_number_exec", 1.0 / 16.0)
 
         self._geom = None  # (n, gh, gw)
+        self._frame_shape = None
         self.temporal = None
         self._steps: Dict[int, Callable] = {}
         self.flops = FlopsTracker()
@@ -107,6 +106,7 @@ class BlockCopyModel:
         n, h, w, _ = frame.shape
         gh, gw = gridlib.grid_shape(h, w, self.block_size)
         self._geom = (n, gh, gw)
+        self._frame_shape = tuple(frame.shape)
         total = n * gh * gw
 
         def build(f):
@@ -168,8 +168,10 @@ class BlockCopyModel:
         state = self.policy.state()
         if state:
             state = dict(state)
-            state["running_cost"] = jnp.float32(
-                state.get("running_cost") or -1.0)
+            # explicit None check: a legitimate running_cost of 0.0 must not
+            # collapse into the -1.0 'uninitialized' sentinel
+            rc = state.get("running_cost")
+            state["running_cost"] = jnp.float32(-1.0 if rc is None else rc)
             save_params(path, state)
 
     def load_policy(self, path: str) -> None:
@@ -187,8 +189,8 @@ class BlockCopyModel:
 
     # -- frame loop ---------------------------------------------------------
 
-    def __call__(self, inputs, **kwargs):
-        return self._forward_blockcopy(inputs, **kwargs)
+    def __call__(self, inputs):
+        return self._forward_blockcopy(inputs)
 
     forward = __call__
 
@@ -204,6 +206,15 @@ class BlockCopyModel:
         with timings.env("blockcopy/model", 3):
             if self.temporal is None or self._geom is None:
                 self._init_temporal(inputs)
+            elif tuple(inputs.shape) != self._frame_shape:
+                # compiled steps and canvases close over the grid geometry;
+                # fail loudly instead of dying inside jit with an opaque
+                # scatter shape mismatch
+                raise ValueError(
+                    f"frame shape changed {self._frame_shape} -> "
+                    f"{tuple(inputs.shape)}: the engine's temporal state "
+                    f"and compiled programs are geometry-static; build a "
+                    f"new BlockCopyModel for a different resolution")
 
             count = meta["num_exec"]
             if count == 0:

@@ -30,18 +30,20 @@ def box_iou_matrix(boxes: jax.Array) -> jax.Array:
 
 
 def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
-             valid: jax.Array = None) -> jax.Array:
+             valid: jax.Array = None, iou: jax.Array = None) -> jax.Array:
     """Greedy NMS over score-sorted candidates.
 
     Args:
         boxes: (N, 4) sorted by descending score.
         scores: (N,) descending.
         valid: (N,) bool; padding rows must be False.
+        iou: optional precomputed (N, N) pairwise IoU of ``boxes`` (callers
+            with class-shared boxes compute it once and reindex per class).
     Returns:
         keep: (N,) bool mask.
     """
     n = boxes.shape[0]
-    iou = box_iou_matrix(boxes)
+    iou = box_iou_matrix(boxes) if iou is None else iou
     valid = jnp.ones((n,), bool) if valid is None else valid
 
     def body(i, state):
@@ -72,6 +74,8 @@ def multiclass_nms_fixed(
     Returns (dets (max_per_img, 5), labels (max_per_img,), valid mask).
     """
     n, num_classes = scores.shape
+    # boxes are shared across classes: one IoU matrix, reindexed per class
+    iou_full = box_iou_matrix(bboxes)
     all_dets = []
     all_labels = []
     all_keep = []
@@ -82,7 +86,8 @@ def multiclass_nms_fixed(
         b_sorted = bboxes[order]
         s_sorted = s[order]
         v_sorted = v[order]
-        keep = nms_mask(b_sorted, s_sorted, iou_thr, v_sorted)
+        keep = nms_mask(b_sorted, s_sorted, iou_thr, v_sorted,
+                        iou=iou_full[order][:, order])
         all_dets.append(jnp.concatenate([b_sorted, s_sorted[:, None]], -1))
         all_labels.append(jnp.full((n,), c, jnp.int32))
         all_keep.append(keep)

@@ -49,8 +49,15 @@ def update(
             step = buf
         return p - lr * step, sq, buf
 
-    out = jax.tree.map(upd, grads, state.square_avg, state.momentum_buf, params)
-    new_params = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
-    new_sq = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
-    new_buf = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+    # flatten-transform-unflatten: structure-agnostic (an ``is_leaf`` tuple
+    # probe on the mapped output would misfire if params ever contain
+    # tuple-structured nodes)
+    leaves_g, treedef = jax.tree.flatten(grads)
+    leaves_sq = treedef.flatten_up_to(state.square_avg)
+    leaves_buf = treedef.flatten_up_to(state.momentum_buf)
+    leaves_p = treedef.flatten_up_to(params)
+    out = [upd(*t) for t in zip(leaves_g, leaves_sq, leaves_buf, leaves_p)]
+    new_params = jax.tree.unflatten(treedef, [t[0] for t in out])
+    new_sq = jax.tree.unflatten(treedef, [t[1] for t in out])
+    new_buf = jax.tree.unflatten(treedef, [t[2] for t in out])
     return new_params, RMSpropState(square_avg=new_sq, momentum_buf=new_buf)

@@ -193,3 +193,22 @@ class TestGridUtils:
         assert list(nbr[0]) == [0, 1, 2, 3, 5, 6, 7, 8]
         # corner: TL,T,TR,L all OOB -> sentinel
         assert list(nbr[1]) == [total, total, total, total, 1, total, 3, 4]
+
+
+class TestCanvasGuards:
+    def test_store_dense_rejects_double_store(self):
+        """Two store_dense calls with one name in one frame = two call
+        sites silently sharing a temporal canvas (e.g. two to_dense calls
+        left on the default name) — must fail loudly at trace time."""
+        from blockcopy_tpu.core.blocked import ExecCtx
+
+        n, gh, gw = 1, 2, 2
+        idx = jnp.arange(n * gh * gw, dtype=jnp.int32)
+        ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+        pack = split_dense(
+            jnp.zeros((n, 8, 8, 3)), idx, n, gh, gw)
+        ctx.store_dense("out", pack)
+        with pytest.raises(ValueError, match="already stored"):
+            ctx.store_dense("out", pack)
+        # distinct names are fine
+        ctx.store_dense("out2", pack)

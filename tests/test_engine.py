@@ -183,3 +183,29 @@ class TestRLPolicy:
             np.asarray(jax.tree_util.tree_leaves(model2.policy.net_params)[0]),
             np.asarray(jax.tree_util.tree_leaves(model.policy.net_params)[0]),
         )
+
+
+class TestEngineGuards:
+    def test_geometry_change_raises_clear_error(self, params):
+        """Resolution changes must fail with a clear message, not an opaque
+        XLA shape error from stale compiled programs."""
+        model = make_model(params, "random")
+        model.reset_temporal()
+        model(synthetic_clip(1)[0])
+        model.reset_temporal()
+        import pytest
+        with pytest.raises(ValueError, match="geometry-static"):
+            model(jnp.zeros((1, H // 2, W // 2, 3)))
+
+    def test_running_cost_zero_roundtrips(self, params, tmp_path):
+        """A legitimate running_cost of 0.0 must not collapse into the -1.0
+        'uninitialized' sentinel on save (regression: falsy-zero check)."""
+        model = make_model(params, "rl_semseg")
+        model.reset_temporal()
+        model(synthetic_clip(1)[0])
+        model.policy.running_cost = 0.0
+        p = str(tmp_path / "pol0.npz")
+        model.save_policy(p)
+        model2 = make_model(params, "rl_semseg")
+        model2.load_policy(p)
+        assert model2.policy.running_cost == 0.0
