@@ -138,19 +138,36 @@ class CityscapesVid:
     def __len__(self):
         return len(self.images)
 
-    def _load(self, path):
+    def _load(self, path, rng_state=None):
+        import random
+
         img = Image.open(path).convert("RGB")
         if self.transform is not None:
+            if rng_state is not None:
+                # replay the annotated frame's random draws so stochastic
+                # transforms (flip/crop/scale) are identical across the
+                # clip — frames must share one augmentation, not fresh
+                # randomness each
+                random.setstate(rng_state)
             img, _ = self.transform(img, None)
         return img
 
     def __getitem__(self, index):
-        img = Image.open(self.images[index]).convert("RGB")
-        target = Image.open(self.targets[index]) if self.has_labels else None
-        if self.transform is not None:
-            img, target = self.transform(img, target)
-        if target is not None:
-            target = self.encode_target(target)
+        import random
+
+        rng_state = random.getstate()
+        if self.native and not self.has_labels:
+            # the clip (incl. the last frame) comes from the native decoder;
+            # skip the otherwise-discarded PIL decode+transform entirely
+            img, target = None, None
+        else:
+            img = Image.open(self.images[index]).convert("RGB")
+            target = Image.open(self.targets[index]) \
+                if self.has_labels else None
+            if self.transform is not None:
+                img, target = self.transform(img, target)
+            if target is not None:
+                target = self.encode_target(target)
 
         fn = self.relative_dirs[index].replace("_leftImg8bit.png", "")
         parts = fn.split("_")
@@ -176,7 +193,8 @@ class CityscapesVid:
                 this_fn = (f"{prefix}_"
                            f"{str(frame_id - i * self.interval).zfill(6)}"
                            "_leftImg8bit.png")
-                clip.append(self._load(os.path.join(self.vid_dir, this_fn)))
+                clip.append(self._load(os.path.join(self.vid_dir, this_fn),
+                                       rng_state=rng_state))
             clip = clip[::-1]
         meta = {"relpath": self.relative_dirs[index]}
         if target is None:

@@ -53,6 +53,13 @@ def csp_config_from_dict(cfg: Dict) -> CSPConfig:
     head = model.get("bbox_head", {})
     test = cfg.get("test_cfg", {})
     kwargs = {}
+    if "depth" in bb:
+        stage_blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                        152: (3, 8, 36, 3)}
+        if bb["depth"] not in stage_blocks:
+            raise ValueError(f"unsupported backbone depth {bb['depth']}")
+        kwargs["depth"] = bb["depth"]
+        kwargs["stage_blocks"] = stage_blocks[bb["depth"]]
     if "strides" in bb:
         kwargs["strides"] = tuple(bb["strides"])
     if "dilations" in bb:

@@ -380,6 +380,7 @@ class CSPBlockCopy:
         self.train_interval = settings["block_train_interval"]
         self.quantum = settings.get("block_quantize_number_exec", 1.0 / 16.0)
         self._geom = None
+        self._frame_shape = None
         self.temporal = None
         self._steps = {}
         self.flops = FlopsTracker()
@@ -394,6 +395,7 @@ class CSPBlockCopy:
         n, h, w, _ = frame.shape
         gh, gw = gridlib.grid_shape(h, w, self.block_size)
         self._geom = (n, gh, gw)
+        self._frame_shape = tuple(frame.shape)
         total = n * gh * gw
 
         def build(f):
@@ -448,6 +450,13 @@ class CSPBlockCopy:
         with timings.env("blockcopy/model", 3):
             if self.temporal is None or self._geom is None:
                 self._init_temporal(img)
+            elif tuple(img.shape) != self._frame_shape:
+                # same guard as BlockCopyModel (core/engine.py): compiled
+                # steps + canvases are geometry-static; fail loudly
+                raise ValueError(
+                    f"frame shape changed {self._frame_shape} -> "
+                    f"{tuple(img.shape)}: build a new CSPBlockCopy for a "
+                    f"different resolution")
             count = meta["num_exec"]
             if count == 0:
                 out = meta["outputs"]

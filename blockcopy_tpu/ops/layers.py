@@ -168,9 +168,14 @@ def conv_transpose2d(
     """Transposed convolution (CSP neck upsampling heads,
     reference ``Pedestron/mmdet/models/necks/csp_neck.py:37-83``).
 
-    With padding==0 a transposed conv touches no out-of-block context, so the
-    blocked path needs no halo (the reference likewise runs ConvTranspose2d
-    per block without interception).  ``w`` is HWIO with I=in, O=out.
+    The blocked path runs per block with NO halo — exactly the reference's
+    behavior (it runs ConvTranspose2d on packed blocks without
+    interception).  For padding==0 that is seam-exact; for padding>0 (the
+    neck's k=4/s=2/p=1 stage) the dense computation reads ``kh-1-padding``
+    rows of cross-block context that both the reference and this blocked
+    path zero-fill, so blocked output can differ from the *dense* baseline
+    along block seams — reference-parity quirk, kept deliberately.
+    ``w`` is HWIO with I=in, O=out.
     """
     def run(data: jax.Array) -> jax.Array:
         kh, kw = w.shape[0], w.shape[1]
@@ -218,25 +223,35 @@ def group_norm(
     beta: jax.Array,
     eps: float = 1e-5,
 ) -> Arrayish:
-    """GroupNorm with statistics over the whole (masked) image.
+    """GroupNorm with statistics over the whole (masked) image, per image.
 
     Reference semantics: blocks are folded out of the batch dimension so GN
-    statistics span all executed blocks of the image jointly
-    (``core/tensorwrapper.py:600-633``, batch-size-1 only).  Here: masked
-    moments over valid blocks; padding slots excluded via the index sentinel.
+    statistics span all executed blocks of one image jointly
+    (``core/tensorwrapper.py:600-633``).  Here: masked moments over valid
+    blocks, segmented per image (the reference is batch-size-1 only; the
+    blocked path must not pool statistics across images when N > 1).
+    Padding slots are excluded via the index sentinel.
     """
     if isinstance(x, BlockPack):
         d = x.data.astype(jnp.float32)
         k, bs, _, c = d.shape
         g = num_groups
+        n_img = x.n
+        per_img_blocks = x.gh * x.gw
         valid = (x.idx < x.total).astype(jnp.float32)  # (K,)
-        count = jnp.maximum(valid.sum() * bs * bs * (c // g), 1.0)
+        img = jnp.clip(x.idx // per_img_blocks, 0, n_img - 1)  # (K,)
         dg = d.reshape(k, bs, bs, g, c // g)
-        vm = valid[:, None, None, None, None]
-        mean = (dg * vm).sum(axis=(0, 1, 2, 4)) / count  # (g,)
-        cent = dg - mean[None, None, None, :, None]
-        var = (cent * cent * vm).sum(axis=(0, 1, 2, 4)) / count
-        out = cent * lax.rsqrt(var + eps)[None, None, None, :, None]
+        blk_sum = dg.sum(axis=(1, 2, 4)) * valid[:, None]        # (K, g)
+        img_sum = jnp.zeros((n_img, g), jnp.float32).at[img].add(blk_sum)
+        cnt = jnp.zeros((n_img,), jnp.float32).at[img].add(valid) \
+            * (bs * bs * (c // g))
+        cnt = jnp.maximum(cnt, 1.0)
+        mean = img_sum / cnt[:, None]                            # (N, g)
+        cent = dg - mean[img][:, None, None, :, None]
+        blk_sq = (cent * cent).sum(axis=(1, 2, 4)) * valid[:, None]
+        var = jnp.zeros((n_img, g), jnp.float32).at[img].add(blk_sq) \
+            / cnt[:, None]
+        out = cent * lax.rsqrt(var + eps)[img][:, None, None, :, None]
         out = out.reshape(k, bs, bs, c) * gamma + beta
         return x.with_data(out.astype(x.data.dtype))
     d = x.astype(jnp.float32)
@@ -311,39 +326,68 @@ def avg_pool2d(x: Arrayish, kernel: int, stride: Optional[int] = None) -> Arrayi
     return emap(pool, x)
 
 
+def _adaptive_bins(size: int, out: int):
+    """torch adaptive-pool bin edges: start floor(i*s/o), end ceil((i+1)s/o)."""
+    starts = (np.arange(out) * size) // out
+    ends = -((-(np.arange(1, out + 1) * size)) // out)
+    return starts, ends
+
+
 def adaptive_avg_pool2d(x: jax.Array, out_hw) -> jax.Array:
-    """Dense adaptive average pool for evenly-dividing targets
-    (SPP grids: ``semantic_segmentation/lib/models/swiftnet/util.py:118-133``)."""
+    """Dense adaptive average pool, torch ``F.adaptive_avg_pool2d`` semantics
+    (SPP grids: ``semantic_segmentation/lib/models/swiftnet/util.py:118-133``).
+
+    Evenly-dividing targets take the fused reduce_window path; other sizes
+    (e.g. ``--res`` values that are multiples of the block size but not of
+    every SPP grid) use an integral image with torch's floor/ceil bins."""
     n, h, w, c = x.shape
     oh, ow = out_hw
-    assert h % oh == 0 and w % ow == 0, (x.shape, out_hw)
-    kh, kw = h // oh, w // ow
-    s = lax.reduce_window(
-        x.astype(jnp.float32),
-        0.0,
-        lax.add,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, kh, kw, 1),
-        padding="VALID",
-    )
-    return (s / (kh * kw)).astype(x.dtype)
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        s = lax.reduce_window(
+            x.astype(jnp.float32),
+            0.0,
+            lax.add,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+        return (s / (kh * kw)).astype(x.dtype)
+    integ = jnp.cumsum(jnp.cumsum(x.astype(jnp.float32), axis=1), axis=2)
+    integ = jnp.pad(integ, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    ys, ye = _adaptive_bins(h, oh)
+    xs, xe = _adaptive_bins(w, ow)
+    sums = (integ[:, ye][:, :, xe] - integ[:, ye][:, :, xs]
+            - integ[:, ys][:, :, xe] + integ[:, ys][:, :, xs])
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(np.float32)
+    return (sums / area[None, :, :, None]).astype(x.dtype)
 
 
 def adaptive_max_pool2d(x: jax.Array, out_hw) -> jax.Array:
-    """Dense adaptive max pool for evenly-dividing targets (reward
-    downsampling, reference ``policy/policy.py:339``)."""
+    """Dense adaptive max pool, torch semantics (reward downsampling,
+    reference ``policy/policy.py:339``).  Evenly-dividing targets use one
+    fused reduce_window; other sizes fall back to static per-bin slices
+    (bin counts are small: the target is the block grid)."""
     n, h, w, c = x.shape
     oh, ow = out_hw
-    assert h % oh == 0 and w % ow == 0, (x.shape, out_hw)
-    kh, kw = h // oh, w // ow
-    return lax.reduce_window(
-        x,
-        np.array(-np.inf, x.dtype)[()],
-        lax.max,
-        window_dimensions=(1, kh, kw, 1),
-        window_strides=(1, kh, kw, 1),
-        padding="VALID",
-    )
+    if h % oh == 0 and w % ow == 0:
+        kh, kw = h // oh, w // ow
+        return lax.reduce_window(
+            x,
+            np.array(-np.inf, x.dtype)[()],
+            lax.max,
+            window_dimensions=(1, kh, kw, 1),
+            window_strides=(1, kh, kw, 1),
+            padding="VALID",
+        )
+    ys, ye = _adaptive_bins(h, oh)
+    xs, xe = _adaptive_bins(w, ow)
+    rows = [
+        jnp.stack([x[:, ys[i]:ye[i], xs[j]:xe[j]].max(axis=(1, 2))
+                   for j in range(ow)], axis=1)
+        for i in range(oh)
+    ]
+    return jnp.stack(rows, axis=1)
 
 
 def _axis_lerp(data: jax.Array, out_size: int, axis: int) -> jax.Array:

@@ -227,7 +227,15 @@ def main(argv=None):
         from blockcopy_tpu.models.builder import build_detector
         from blockcopy_tpu.utils.registry import load_config
         file_cfg = load_config(args.config)
-        model = build_detector(file_cfg, checkpoint=ckpt, dtype=dtype)
+        # precedence: explicit CLI --block-* flags > config
+        # blockcopy_settings > CLI defaults (flags left at their parser
+        # default are not treated as overrides)
+        parser_defaults = vars(build_argparser().parse_args([]))
+        overrides = {k: v for k, v in settings.items()
+                     if k.startswith("block_") and v != parser_defaults[k]}
+        model = build_detector(file_cfg, checkpoint=ckpt, dtype=dtype,
+                               settings_override=overrides)
+        settings = model.settings
     else:
         cfg = CSPConfig()
         if ckpt:

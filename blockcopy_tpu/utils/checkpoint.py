@@ -140,6 +140,13 @@ def save_params(path: str, tree) -> None:
 
 def load_npz(path: str, like, dtype=None) -> Dict:
     """Load a flat npz back into the structure of ``like``."""
+    import os
+
+    if not os.path.exists(path) and not path.endswith(".npz") \
+            and os.path.exists(path + ".npz"):
+        # np.savez appends '.npz' to extensionless save paths; mirror that
+        # so save_params/load_npz round-trip on the same path string
+        path = path + ".npz"
     data = np.load(path)
 
     flat_like = _flatten(like)

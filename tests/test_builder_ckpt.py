@@ -101,3 +101,19 @@ class TestCSPConversion:
             np.asarray(params["neck"]["p3"]["w"]),
             w_t.transpose(2, 3, 0, 1),
         )
+
+
+class TestBuilderRegressions:
+    def test_backbone_depth_maps_to_stage_blocks(self):
+        cfg = {"model": {"type": "CSPBlockCopy",
+                         "backbone": {"type": "ResNet", "depth": 101}}}
+        c = csp_config_from_dict(cfg)
+        assert c.depth == 101 and c.stage_blocks == (3, 4, 23, 3)
+        with pytest.raises(ValueError, match="depth"):
+            csp_config_from_dict(
+                {"model": {"backbone": {"depth": 18}}})
+
+    def test_settings_override_beats_config(self):
+        cfg = load_config("configs/csp/csp_r50_clip_blockcopy_030.py")
+        det = build_detector(cfg, settings_override={"block_target": 0.77})
+        assert det.settings["block_target"] == 0.77

@@ -197,3 +197,15 @@ class TestOrbax:
                                       np.arange(10.0))
         np.testing.assert_array_equal(np.asarray(back["b"]["c"]),
                                       np.ones((3, 4)))
+
+
+def test_npz_extensionless_path_roundtrip(tmp_path):
+    """np.savez appends '.npz' to extensionless paths; load_npz must mirror
+    that so save_params/load_npz round-trip on the same path string."""
+    p = str(tmp_path / "policy")  # no extension
+    tree = {"a": jnp.arange(4.0)}
+    ckpt.save_params(p, tree)
+    assert os.path.exists(p + ".npz")
+    loaded = ckpt.load_npz(p, tree)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]),
+                                  np.asarray(tree["a"]))

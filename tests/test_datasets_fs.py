@@ -128,3 +128,38 @@ class TestCityPersonsClips:
         assert len(clip) == CLIP
         assert clip[0].shape == (H, W, 3)
         assert meta["image_id"] == 1 and len(anns) == 1
+
+
+class TestClipAugmentationSync:
+    def test_stochastic_transform_identical_across_clip(self, cityscapes_root):
+        """Stochastic transforms must apply the SAME draw to every frame of
+        a clip (regression: independent per-frame randomness produced
+        physically impossible motion, e.g. half the clip flipped)."""
+        import random
+
+        from blockcopy_tpu.data.transforms import ExtRandomHorizontalFlip
+
+        tf = ExtCompose([
+            ExtResize((H, W)), ExtRandomHorizontalFlip(p=0.5), ExtToArray(),
+            ExtNormalize(CityscapesVid.mean, CityscapesVid.std),
+        ])
+        ds = CityscapesVid(cityscapes_root, split="val", transform=tf,
+                           clip_length=CLIP, has_labels=True)
+        # over several seeds, every frame's flip decision must match the
+        # annotated frame's — compare each frame against a no-flip load
+        plain = CityscapesVid(cityscapes_root, split="val", transform=ExtCompose([
+            ExtResize((H, W)), ExtToArray(),
+            ExtNormalize(CityscapesVid.mean, CityscapesVid.std),
+        ]), clip_length=CLIP, has_labels=True)
+        saw_flip = False
+        for seed in range(6):
+            random.seed(seed)
+            clip, _, _ = ds[0]
+            ref, _, _ = plain[0]
+            flipped = [
+                not np.allclose(np.asarray(a), np.asarray(b))
+                for a, b in zip(clip, ref)
+            ]
+            assert len(set(flipped)) == 1, "clip frames disagree on the flip"
+            saw_flip = saw_flip or flipped[0]
+        assert saw_flip, "p=0.5 flip never fired across 6 seeds"

@@ -189,3 +189,43 @@ class TestConvTranspose:
             np.asarray(y), ty.numpy().transpose(0, 2, 3, 1), rtol=1e-4,
             atol=1e-4,
         )
+
+
+class TestReviewRegressions:
+    def test_group_norm_blocked_per_image_stats_batch2(self):
+        """Blocked GN must use per-image statistics for N>1, matching the
+        dense path (regression: stats were pooled across the batch)."""
+        n, gh, gw, bs, c, g = 2, 2, 2, 4, 8, 4
+        x = rand((n, gh * bs, gw * bs, c), 21)
+        # make the two images statistically very different
+        x = x.at[1].add(5.0)
+        gamma = jnp.ones((c,)) * 1.3
+        beta = jnp.zeros((c,)) + 0.1
+        dense = L.group_norm(x, g, gamma, beta)
+        ctx = make_ctx(n, gh, gw)
+        pack = split_dense(x, ctx.idx, n, gh, gw)
+        out = L.group_norm(pack, g, gamma, beta)
+        canvas = jnp.zeros(
+            (n * gh * gw + 1,) + out.data.shape[1:], out.data.dtype
+        ).at[out.idx].set(out.data, mode="drop")
+        got = block_layout_to_dense(canvas, n, gh, gw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_adaptive_pools_non_dividing(self):
+        """torch adaptive-pool bins for sizes that do not divide evenly
+        (regression: assert crashed legal --res values)."""
+        import torch
+        import torch.nn.functional as F
+
+        x = rand((1, 9, 14, 3), 22)
+        xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2)
+        for oh, ow in [(2, 4), (4, 5), (8, 16)]:
+            a = L.adaptive_avg_pool2d(x, (oh, ow))
+            m = L.adaptive_max_pool2d(x, (oh, ow))
+            ra = F.adaptive_avg_pool2d(xt, (oh, ow)).permute(0, 2, 3, 1)
+            rm = F.adaptive_max_pool2d(xt, (oh, ow)).permute(0, 2, 3, 1)
+            np.testing.assert_allclose(np.asarray(a), ra.numpy(),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(m), rm.numpy(),
+                                       rtol=1e-5, atol=1e-5)
