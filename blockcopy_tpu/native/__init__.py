@@ -38,6 +38,10 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
+    src = os.path.join(_DIR, "io.cpp")
+    if os.path.exists(_SO) and os.path.exists(src) \
+            and os.path.getmtime(src) > os.path.getmtime(_SO):
+        _try_build()  # source newer than the library: best-effort refresh
     if not os.path.exists(_SO) and not _try_build():
         return None
     lib = ctypes.CDLL(_SO)
@@ -144,4 +148,6 @@ def soft_nms(dets: np.ndarray, iou_thr: float = 0.3, method: str = "linear",
     m = {"linear": 0, "gaussian": 1, "naive": 2}[method]
     k = lib.bc_soft_nms(_fptr(dets), len(dets), iou_thr, m, sigma, min_score,
                         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
-    return dets[:], keep[:k].copy()
+    # rows [0, k) are the kept detections, positionally aligned with the
+    # kept original indices (same contract as ops.nms.soft_nms_numpy)
+    return dets[:k].copy(), keep[:k].copy()

@@ -26,7 +26,9 @@ namespace {
 
 struct Image {
   int w = 0, h = 0, c = 0;
-  std::vector<uint8_t> data;  // HWC
+  std::vector<uint8_t> data;     // HWC, palette expanded to RGB
+  std::vector<uint8_t> indices;  // raw palette indices (color_type 3 only):
+                                 // label PNGs need the index, not its color
 };
 
 uint32_t rd_u32(const uint8_t* p) {
@@ -160,10 +162,12 @@ bool decode_png(const char* path, Image& img) {
       case 2: r = un[i * 3]; g = un[i * 3 + 1]; b = un[i * 3 + 2]; break;
       case 3: {
         uint8_t p = un[i];
+        if (img.indices.empty()) img.indices.resize(size_t(w) * h);
+        img.indices[i] = p;  // label consumers want the raw index
         if (size_t(p) * 3 + 2 < palette.size()) {
           r = palette[p * 3]; g = palette[p * 3 + 1]; b = palette[p * 3 + 2];
         } else {
-          r = g = b = p;  // label PNGs: palette index IS the value
+          r = g = b = p;
         }
         break;
       }
@@ -292,8 +296,14 @@ int bc_decode_label(const char* path, uint8_t* out, int* w, int* h,
   if (img.w * img.h > max_bytes) return 2;
   *w = img.w;
   *h = img.h;
-  for (size_t i = 0; i < size_t(img.w) * img.h; i++)
-    out[i] = img.data[i * 3];  // palette/gray value replicated in R
+  if (!img.indices.empty()) {
+    // palette PNG: the class id is the palette INDEX, never its RGB color
+    for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+      out[i] = img.indices[i];
+  } else {
+    for (size_t i = 0; i < size_t(img.w) * img.h; i++)
+      out[i] = img.data[i * 3];  // gray value replicated in R
+  }
   return 0;
 }
 
@@ -354,24 +364,29 @@ int bc_nms(const float* dets, int n, float iou_thr, int* keep_out) {
   return kept;
 }
 
-// Soft-NMS (method: 0=linear, 1=gaussian, 2=naive); modifies scores in
-// dets_inout ((n,5) row-major), writes kept original indices, returns count.
-// C++ port of the capability of the reference's Cython soft_nms_cpu
-// (Pedestron/mmdet/ops/nms/src/soft_nms_cpu.pyx).
+// Soft-NMS (method: 0=linear, 1=gaussian, 2=naive); modifies dets_inout
+// ((n,5) row-major) in place, writes kept original indices, returns count.
+// Protocol-exact port of the reference's Cython soft_nms_cpu
+// (Pedestron/mmdet/ops/nms/src/soft_nms_cpu.pyx): a box whose decayed
+// score drops below min_score is REMOVED immediately (swapped with the
+// last active row) so it can never act as a suppression pivot later.
+// On return rows [0, count) are the kept detections in processed order,
+// positionally aligned with keep_out.
 int bc_soft_nms(float* dets, int n, float iou_thr, int method, float sigma,
                 float min_score, int* keep_out) {
   std::vector<int> inds(n);
   for (int i = 0; i < n; i++) inds[i] = i;
-  for (int i = 0; i < n; i++) {
+  int n_act = n;
+  for (int i = 0; i < n_act; i++) {
     int max_pos = i;
-    for (int j = i + 1; j < n; j++)
+    for (int j = i + 1; j < n_act; j++)
       if (dets[j * 5 + 4] > dets[max_pos * 5 + 4]) max_pos = j;
     for (int k = 0; k < 5; k++) std::swap(dets[i * 5 + k], dets[max_pos * 5 + k]);
     std::swap(inds[i], inds[max_pos]);
     float x1 = dets[i * 5], y1 = dets[i * 5 + 1];
     float x2 = dets[i * 5 + 2], y2 = dets[i * 5 + 3];
     float ai = std::max(x2 - x1 + 1, 0.f) * std::max(y2 - y1 + 1, 0.f);
-    for (int j = i + 1; j < n; j++) {
+    for (int j = i + 1; j < n_act; j++) {
       float xx1 = std::max(x1, dets[j * 5]);
       float yy1 = std::max(y1, dets[j * 5 + 1]);
       float xx2 = std::min(x2, dets[j * 5 + 2]);
@@ -386,12 +401,17 @@ int bc_soft_nms(float* dets, int n, float iou_thr, int method, float sigma,
       else if (method == 1) weight = expf(-(ov * ov) / sigma);
       else weight = ov > iou_thr ? 0.0f : 1.0f;
       dets[j * 5 + 4] *= weight;
+      if (dets[j * 5 + 4] < min_score) {
+        // reference pyx: replace with the last active box and re-examine
+        n_act--;
+        for (int k = 0; k < 5; k++) dets[j * 5 + k] = dets[n_act * 5 + k];
+        inds[j] = inds[n_act];
+        j--;
+      }
     }
   }
-  int kept = 0;
-  for (int i = 0; i < n; i++)
-    if (dets[i * 5 + 4] > min_score) keep_out[kept++] = inds[i];
-  return kept;
+  for (int i = 0; i < n_act; i++) keep_out[i] = inds[i];
+  return n_act;
 }
 
 }  // extern "C"

@@ -64,18 +64,24 @@ def roi_align(features: jax.Array, rois: jax.Array, out_size: int = 7,
     batch = rois[:, 0].astype(jnp.int32)
 
     def sample(img, y, x):
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+        # mmdet bilinear_interpolate: samples outside [-1, size] contribute
+        # ZERO (not the clamped border value); inside, coords clamp to >= 0
+        valid = (y >= -1.0) & (y <= h) & (x >= -1.0) & (x <= w)
+        y = jnp.clip(y, 0.0, h - 1)
+        x = jnp.clip(x, 0.0, w - 1)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
         y1c = jnp.clip(y0 + 1, 0, h - 1)
         x1c = jnp.clip(x0 + 1, 0, w - 1)
-        wy = jnp.clip(y - y0, 0, 1)[..., None]
-        wx = jnp.clip(x - x0, 0, 1)[..., None]
+        wy = (y - y0)[..., None]
+        wx = (x - x0)[..., None]
         v00 = img[y0, x0]
         v01 = img[y0, x1c]
         v10 = img[y1c, x0]
         v11 = img[y1c, x1c]
-        return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-                + v10 * wy * (1 - wx) + v11 * wy * wx)
+        val = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+               + v10 * wy * (1 - wx) + v11 * wy * wx)
+        return jnp.where(valid[..., None], val, 0.0)
 
     def one_roi(b, y_r, x_r):
         img = features[b]

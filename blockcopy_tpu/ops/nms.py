@@ -116,15 +116,17 @@ def soft_nms_numpy(dets, iou_thr=0.3, method="linear", sigma=0.5,
     import numpy as np
 
     dets = dets.copy().astype(np.float64)
-    n = dets.shape[0]
-    inds = np.arange(n)
-    for i in range(n):
-        max_pos = i + dets[i:, 4].argmax()
+    n_act = dets.shape[0]
+    inds = np.arange(dets.shape[0])
+    i = 0
+    while i < n_act:
+        max_pos = i + dets[i:n_act, 4].argmax()
         dets[[i, max_pos]] = dets[[max_pos, i]]
         inds[[i, max_pos]] = inds[[max_pos, i]]
         x1, y1, x2, y2 = dets[i, :4]
         area_i = max(x2 - x1 + 1, 0) * max(y2 - y1 + 1, 0)
-        for j in range(i + 1, n):
+        j = i + 1
+        while j < n_act:
             xx1 = max(x1, dets[j, 0]); yy1 = max(y1, dets[j, 1])
             xx2 = min(x2, dets[j, 2]); yy2 = min(y2, dets[j, 3])
             w = max(xx2 - xx1 + 1, 0); h = max(yy2 - yy1 + 1, 0)
@@ -139,5 +141,14 @@ def soft_nms_numpy(dets, iou_thr=0.3, method="linear", sigma=0.5,
             else:  # naive nms
                 weight = 0.0 if ov > iou_thr else 1.0
             dets[j, 4] *= weight
-    keep = dets[:, 4] > min_score
-    return dets[keep].astype(np.float32), inds[keep]
+            if dets[j, 4] < min_score:
+                # reference pyx removes the box immediately (swap with the
+                # last active row, re-examine): a suppressed box must never
+                # act as a suppression pivot later
+                n_act -= 1
+                dets[j] = dets[n_act]
+                inds[j] = inds[n_act]
+                j -= 1
+            j += 1
+        i += 1
+    return dets[:n_act].astype(np.float32), inds[:n_act]

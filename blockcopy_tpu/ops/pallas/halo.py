@@ -87,10 +87,14 @@ def halo_gather_pallas(canvas, idx, pad, n, gh, gw, center):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
     )
+    # output dtype follows the CANVAS (the XLA halo_gather contract): the
+    # kernel's stores and canvas DMAs all run in canvas.dtype, so the
+    # out_shape must too — declaring center.dtype would mismatch whenever
+    # a caller passes a differently-typed center
     return pl.pallas_call(
         functools.partial(_kernel, bs=bs, p=p),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, bs + 2 * p, bs + 2 * p, c),
-                                       center.dtype),
+                                       canvas.dtype),
         interpret=not _is_tpu(),
     )(idx, nbr, center.astype(canvas.dtype), canvas)

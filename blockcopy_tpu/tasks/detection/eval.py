@@ -272,11 +272,13 @@ def main(argv=None):
     else:
         assert args.ann_file and args.img_prefix, \
             "need --ann-file/--img-prefix or --synthetic"
+        scale = (args.res * 2, args.res)  # dataset takes (w, h)
         ds_eval = CityPersonsClipDataset(args.ann_file, args.img_prefix,
+                                         img_scale=scale,
                                          clip_length=args.clip_length)
         warm_ann = args.ann_file_warmup or args.ann_file
         warm_img = args.img_prefix_warmup or args.img_prefix
-        ds_warm = CityPersonsClipDataset(warm_ann, warm_img,
+        ds_warm = CityPersonsClipDataset(warm_ann, warm_img, img_scale=scale,
                                          clip_length=args.clip_length)
         evaluator = CityPersonsMREvaluator(args.ann_file)
 
@@ -359,9 +361,13 @@ def main(argv=None):
             if lazy:
                 bbox_results = model.current_results()
             if phase == "eval":
+                # bbox_results is the full per-class list — pass it whole
+                # (indexing [0] would silently drop classes beyond class 0
+                # in multi-class configs)
                 detections.extend(
-                    bbox_results_to_coco([bbox_results[0] if isinstance(
-                        bbox_results, list) else bbox_results],
+                    bbox_results_to_coco(
+                        bbox_results if isinstance(bbox_results, list)
+                        else [bbox_results],
                         meta["image_id"])
                 )
         elapsed = time.perf_counter() - start

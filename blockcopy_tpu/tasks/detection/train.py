@@ -110,11 +110,17 @@ def cls_pos_loss(cls_logits: jax.Array, pos_map: jax.Array) -> jax.Array:
 
 def reg_pos_loss(h_pred: jax.Array, scale_map: jax.Array) -> jax.Array:
     """Scale regression: masked smooth-L1 of the height ratio
-    (``csp_head.py:367-381``)."""
+    (``csp_head.py:367-381``).
+
+    Positions whose log-height target is ~0 (a box crop-clipped to exactly
+    the stride height) are masked out: dividing by them produces ~1e10
+    ratios and one such sample destroys training."""
     target = scale_map[..., 0]
-    mask = scale_map[..., 1]
-    ratio_pred = h_pred[..., 0] / (target + 1e-10)
-    ratio_tgt = target / (target + 1e-10)
+    safe = jnp.abs(target) > 1e-6
+    mask = scale_map[..., 1] * safe.astype(scale_map.dtype)
+    denom = jnp.where(safe, target, 1.0)
+    ratio_pred = h_pred[..., 0] / denom
+    ratio_tgt = jnp.where(safe, 1.0, 0.0)
     l1 = mask * _smooth_l1(ratio_pred, ratio_tgt)
     return jnp.sum(l1) / jnp.maximum(1.0, jnp.sum(mask))
 

@@ -36,7 +36,10 @@ def _flip_boxes(boxes: np.ndarray, width: int) -> np.ndarray:
 
 
 def _crop_boxes(boxes: np.ndarray, x0: int, y0: int, w: int, h: int,
-                min_size: float = 4.0) -> np.ndarray:
+                min_size: float = 8.0) -> np.ndarray:
+    # min_size stays above the head stride (4): a box clipped to exactly
+    # stride height has log-scale target 0, which the scale-regression loss
+    # masks out anyway (tasks/detection/train.py:reg_pos_loss)
     if len(boxes) == 0:
         return boxes.reshape(0, 4)
     out = boxes.copy()

@@ -95,3 +95,55 @@ class TestNativeNMS:
                          [50, 50, 60, 60, 0.7]], np.float32)
         out, keep = native.soft_nms(dets, 0.3, method="linear")
         assert len(keep) >= 2
+
+
+class TestReviewRegressions:
+    def test_palette_label_uses_index_not_color(self, png_dir):
+        """A palette PNG with a COLOR palette (e.g. cityscapes colorized
+        labels) must decode to the palette INDEX — the grayscale identity
+        palette in the other fixtures masked this."""
+        d, _, lab = png_dir
+        pal = Image.fromarray(lab, mode="P")
+        # a real color palette: index i -> (220-i, 20, 60)
+        pal.putpalette([v for i in range(256)
+                        for v in ((220 - i) % 256, 20, 60)])
+        p = os.path.join(d, "palette_color.png")
+        pal.save(p)
+        got = native.decode_label(p)
+        np.testing.assert_array_equal(got, lab)
+
+    def test_soft_nms_rows_align_with_keep(self):
+        """native.soft_nms returns (kept rows, original indices) aligned
+        positionally — suppressed boxes must not appear in the rows."""
+        dets = np.array([[0, 0, 10, 10, 0.9],
+                         [0, 0, 10, 10.2, 0.8],     # suppressed by box 0
+                         [50, 50, 60, 60, 0.7]], np.float32)
+        out, keep = native.soft_nms(dets, 0.3, method="naive",
+                                    min_score=0.05)
+        assert out.shape[0] == len(keep)
+        for row, orig in zip(out, keep):
+            np.testing.assert_allclose(row[:4], dets[orig, :4])
+        assert 1 not in keep.tolist()
+
+    def test_soft_nms_suppressed_neighbor_chain(self):
+        """pyx-protocol chain: A(0.9) naive-kills B (removed immediately,
+        reference soft_nms_cpu.pyx semantics); C overlaps B above the
+        threshold but not A, and must survive with its score intact in
+        BOTH implementations (C++ and numpy agree row-for-row)."""
+        from blockcopy_tpu.ops.nms import soft_nms_numpy
+
+        a = [0, 0, 10, 10, 0.9]
+        b = [0, 0, 10, 30, 0.8]     # ov(A,B) ~0.355 > 0.3
+        c = [0, 18, 10, 40, 0.3]    # ov(B,C) ~0.317 > 0.3; ov(A,C) = 0
+        dets = np.array([a, b, c], np.float32)
+        results = []
+        for fn in (lambda d: native.soft_nms(d, 0.3, method="naive",
+                                             min_score=0.05),
+                   lambda d: soft_nms_numpy(d, 0.3, method="naive",
+                                            min_score=0.05)):
+            out, keep = fn(dets)
+            kept = {int(k): float(r[4]) for r, k in zip(out, keep)}
+            assert kept.keys() == {0, 2}, (out, keep)
+            assert kept[2] == pytest.approx(0.3), (out, keep)
+            results.append(sorted(kept.items()))
+        assert results[0] == pytest.approx(results[1])
