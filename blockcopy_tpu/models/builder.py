@@ -60,6 +60,8 @@ def csp_config_from_dict(cfg: Dict) -> CSPConfig:
             raise ValueError(f"unsupported backbone depth {bb['depth']}")
         kwargs["depth"] = bb["depth"]
         kwargs["stage_blocks"] = stage_blocks[bb["depth"]]
+    if "stage_blocks" in bb:  # explicit override (tests / ablations)
+        kwargs["stage_blocks"] = tuple(bb["stage_blocks"])
     if "strides" in bb:
         kwargs["strides"] = tuple(bb["strides"])
     if "dilations" in bb:

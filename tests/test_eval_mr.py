@@ -138,3 +138,26 @@ class TestDetectionCLI:
         assert "MR_Reasonable" in results
         assert results["gmacs_per_image"] > 0
         assert 0 < results["perc_exec"] <= 1.0
+
+    def test_config_file_with_cli_override(self, tmp_path):
+        """--config path end-to-end, with an explicit --block-* flag taking
+        precedence over the config's blockcopy_settings (regression: CLI
+        flags used to be silently discarded with --config)."""
+        from blockcopy_tpu.tasks.detection import eval as cli
+        cfg = tmp_path / "cfg.py"
+        cfg.write_text(
+            "model = dict(type='CSPBlockCopy',\n"
+            "    backbone=dict(type='ResNet', depth=50,\n"
+            "                  stage_blocks=(1, 1, 1, 1)),\n"
+            "    blockcopy_settings=dict(block_target=0.9))\n"
+            "test_cfg = dict(nms_pre=64, max_per_img=8)\n"
+        )
+        results = cli.main([
+            "--config", str(cfg),
+            "--synthetic", "--res", "256", "--clip-length", "3",
+            "--num-clips-warmup", "1", "--num-clips-eval", "1",
+            "--block-policy", "rl_objectdetection",
+            "--block-target", "0.5",  # non-default: must beat the config
+        ])
+        assert "MR_Reasonable" in results
+        assert results["gmacs_per_image"] > 0
