@@ -209,3 +209,26 @@ def test_npz_extensionless_path_roundtrip(tmp_path):
     loaded = ckpt.load_npz(p, tree)
     np.testing.assert_array_equal(np.asarray(loaded["a"]),
                                   np.asarray(tree["a"]))
+
+
+def test_shipped_shell_configs_parse():
+    """Every shipped .sh config's flag line must parse against the current
+    CLI parser (catches flag drift between configs/ and core/argparser)."""
+    import glob
+    import shlex
+
+    from blockcopy_tpu.tasks.semseg.eval import build_argparser
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "configs", "swiftnet_*",
+                                          "*.sh")))
+    assert len(files) == 12, files
+    for f in files:
+        text = open(f).read().replace("\\\n", " ")
+        line = next(ln for ln in text.splitlines()
+                    if "blockcopy_tpu.tasks.semseg.eval" in ln)
+        toks = shlex.split(line)
+        args = toks[toks.index("blockcopy_tpu.tasks.semseg.eval") + 1:]
+        ns = build_argparser().parse_args(args)
+        assert ns.block_size == 128, f
+        assert ns.model_backbone in ("resnet18", "resnet50"), f
