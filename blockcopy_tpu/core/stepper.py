@@ -228,13 +228,16 @@ class FixedCapacityStepper:
     def check_policy_finite(policy_state: Dict, phase: str) -> None:
         """Phase-boundary NaN guard shared by both CLIs: one bad REINFORCE
         update would otherwise silently corrupt the policy for the rest of
-        the run.  Arch-agnostic (checks running_cost + the first param
-        leaf); cheap enough to call once per phase."""
+        the run.  Arch-agnostic: sums across ALL param leaves (a non-finite
+        value confined to one leaf — plausible for the fast arch whose
+        zero-init head decouples trunk gradients early — must not slip
+        through) + running_cost; still one host sync per phase."""
         import numpy as np
 
         rc = np.asarray(policy_state["running_cost"])
-        w = np.asarray(jnp.sum(
-            jax.tree_util.tree_leaves(policy_state["params"])[0]))
+        w = np.asarray(jax.tree_util.tree_reduce(
+            lambda a, leaf: a + jnp.sum(jnp.asarray(leaf, jnp.float32)),
+            policy_state["params"], jnp.float32(0.0)))
         if not (np.isfinite(rc).all() and np.isfinite(w)):
             raise FloatingPointError(
                 f"policy state non-finite after {phase} "

@@ -370,6 +370,9 @@ int bc_nms(const float* dets, int n, float iou_thr, int* keep_out) {
 // (Pedestron/mmdet/ops/nms/src/soft_nms_cpu.pyx): a box whose decayed
 // score drops below min_score is REMOVED immediately (swapped with the
 // last active row) so it can never act as a suppression pivot later.
+// Decay + removal run only inside the positive-overlap (iw>0 && ih>0)
+// branch, as in the pyx — a never-overlapping box below min_score
+// survives.
 // On return rows [0, count) are the kept detections in processed order,
 // positionally aligned with keep_out.
 int bc_soft_nms(float* dets, int n, float iou_thr, int method, float sigma,
@@ -395,18 +398,20 @@ int bc_soft_nms(float* dets, int n, float iou_thr, int method, float sigma,
       float inter = w * h;
       float aj = std::max(dets[j * 5 + 2] - dets[j * 5] + 1, 0.f) *
                  std::max(dets[j * 5 + 3] - dets[j * 5 + 1] + 1, 0.f);
-      float ov = inter / std::max(ai + aj - inter, 1e-10f);
-      float weight = 1.0f;
-      if (method == 0) weight = ov > iou_thr ? 1 - ov : 1.0f;
-      else if (method == 1) weight = expf(-(ov * ov) / sigma);
-      else weight = ov > iou_thr ? 0.0f : 1.0f;
-      dets[j * 5 + 4] *= weight;
-      if (dets[j * 5 + 4] < min_score) {
-        // reference pyx: replace with the last active box and re-examine
-        n_act--;
-        for (int k = 0; k < 5; k++) dets[j * 5 + k] = dets[n_act * 5 + k];
-        inds[j] = inds[n_act];
-        j--;
+      if (w > 0 && h > 0) {
+        float ov = inter / std::max(ai + aj - inter, 1e-10f);
+        float weight = 1.0f;
+        if (method == 0) weight = ov > iou_thr ? 1 - ov : 1.0f;
+        else if (method == 1) weight = expf(-(ov * ov) / sigma);
+        else weight = ov > iou_thr ? 0.0f : 1.0f;
+        dets[j * 5 + 4] *= weight;
+        if (dets[j * 5 + 4] < min_score) {
+          // reference pyx: replace with the last active box and re-examine
+          n_act--;
+          for (int k = 0; k < 5; k++) dets[j * 5 + k] = dets[n_act * 5 + k];
+          inds[j] = inds[n_act];
+          j--;
+        }
       }
     }
   }

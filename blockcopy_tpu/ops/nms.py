@@ -134,21 +134,26 @@ def soft_nms_numpy(dets, iou_thr=0.3, method="linear", sigma=0.5,
             area_j = max(dets[j, 2] - dets[j, 0] + 1, 0) * \
                 max(dets[j, 3] - dets[j, 1] + 1, 0)
             ov = inter / max(area_i + area_j - inter, 1e-10)
-            if method == "linear":
-                weight = 1 - ov if ov > iou_thr else 1.0
-            elif method == "gaussian":
-                weight = np.exp(-(ov * ov) / sigma)
-            else:  # naive nms
-                weight = 0.0 if ov > iou_thr else 1.0
-            dets[j, 4] *= weight
-            if dets[j, 4] < min_score:
-                # reference pyx removes the box immediately (swap with the
-                # last active row, re-examine): a suppressed box must never
-                # act as a suppression pivot later
-                n_act -= 1
-                dets[j] = dets[n_act]
-                inds[j] = inds[n_act]
-                j -= 1
+            if w > 0 and h > 0:
+                # reference pyx decays + checks removal ONLY inside the
+                # positive-overlap (iw>0 and ih>0) branch: a box whose
+                # initial score is already below min_score but never
+                # overlaps a pivot survives there, so it must survive here
+                if method == "linear":
+                    weight = 1 - ov if ov > iou_thr else 1.0
+                elif method == "gaussian":
+                    weight = np.exp(-(ov * ov) / sigma)
+                else:  # naive nms
+                    weight = 0.0 if ov > iou_thr else 1.0
+                dets[j, 4] *= weight
+                if dets[j, 4] < min_score:
+                    # reference pyx removes the box immediately (swap with
+                    # the last active row, re-examine): a suppressed box
+                    # must never act as a suppression pivot later
+                    n_act -= 1
+                    dets[j] = dets[n_act]
+                    inds[j] = inds[n_act]
+                    j -= 1
             j += 1
         i += 1
     return dets[:n_act].astype(np.float32), inds[:n_act]

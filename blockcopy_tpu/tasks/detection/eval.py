@@ -211,6 +211,19 @@ class _StepperDetector:
         return {"grid": self.state["prev_grid"] > 0}
 
 
+def _explicitly_passed(argv) -> set:
+    """Keys the user actually typed on the command line: re-parse the same
+    argv with every default set to ``argparse.SUPPRESS`` — only provided
+    flags land in the namespace."""
+    import argparse
+
+    p = build_argparser()
+    for a in p._actions:
+        a.default = argparse.SUPPRESS
+    p._defaults.clear()
+    return set(vars(p.parse_args(argv)).keys())
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     logger.info("Arguments: %s", args)
@@ -228,11 +241,13 @@ def main(argv=None):
         from blockcopy_tpu.utils.registry import load_config
         file_cfg = load_config(args.config)
         # precedence: explicit CLI --block-* flags > config
-        # blockcopy_settings > CLI defaults (flags left at their parser
-        # default are not treated as overrides)
-        parser_defaults = vars(build_argparser().parse_args([]))
-        overrides = {k: v for k, v in settings.items()
-                     if k.startswith("block_") and v != parser_defaults[k]}
+        # blockcopy_settings > CLI defaults.  "Explicit" is detected by a
+        # SUPPRESS-default re-parse (not by comparing to parser defaults:
+        # a flag passed AT its default value must still override the
+        # config, e.g. --block-target 0.3 vs a config's 0.5).
+        explicit = _explicitly_passed(argv)
+        overrides = {k: settings[k] for k in explicit
+                     if k.startswith("block_")}
         model = build_detector(file_cfg, checkpoint=ckpt, dtype=dtype,
                                settings_override=overrides)
         settings = model.settings
@@ -405,6 +420,8 @@ def main(argv=None):
         results["gmacs_per_image"] = model.flops.average_gmacs()
         results["perc_exec"] = model.policy.stats.get_exec_percentage()
     results["gmacs_breakdown"] = {k: v / 1e9 for k, v in breakdown.items()}
+    # effective (post config/CLI merge) target, for observability + tests
+    results["block_target"] = float(settings["block_target"])
     for k in SETUP_LABELS:
         logger.info("Average Miss Rate (MR) %-22s = %.2f%%", k,
                     mrs[k])

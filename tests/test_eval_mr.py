@@ -157,7 +157,18 @@ class TestDetectionCLI:
             "--synthetic", "--res", "256", "--clip-length", "3",
             "--num-clips-warmup", "1", "--num-clips-eval", "1",
             "--block-policy", "rl_objectdetection",
-            "--block-target", "0.5",  # non-default: must beat the config
+            # 0.5 IS the parser default — an explicitly typed flag must
+            # still beat the config (SUPPRESS-reparse detection; the old
+            # compare-to-defaults logic silently let the config win here)
+            "--block-target", "0.5",
         ])
         assert "MR_Reasonable" in results
         assert results["gmacs_per_image"] > 0
+        assert results["block_target"] == 0.5
+
+    def test_explicitly_passed_detection(self):
+        from blockcopy_tpu.tasks.detection.eval import _explicitly_passed
+        ex = _explicitly_passed(["--synthetic", "--block-target", "0.5"])
+        assert "block_target" in ex
+        assert "synthetic" in ex
+        assert "block_size" not in ex and "res" not in ex

@@ -147,3 +147,22 @@ class TestReviewRegressions:
             assert kept[2] == pytest.approx(0.3), (out, keep)
             results.append(sorted(kept.items()))
         assert results[0] == pytest.approx(results[1])
+
+    def test_soft_nms_never_overlapping_low_score_box_survives(self):
+        """Reference pyx decays/removes ONLY inside the positive-overlap
+        (iw>0 && ih>0) branch (soft_nms_cpu.pyx): a box whose initial score
+        is already below min_score but never overlaps any pivot must
+        survive in both implementations."""
+        from blockcopy_tpu.ops.nms import soft_nms_numpy
+
+        dets = np.array([[0, 0, 10, 10, 0.9],
+                         [100, 100, 110, 110, 0.01]],  # < min_score, no overlap
+                        np.float32)
+        for fn in (lambda d: native.soft_nms(d, 0.3, method="linear",
+                                             min_score=0.05),
+                   lambda d: soft_nms_numpy(d, 0.3, method="linear",
+                                            min_score=0.05)):
+            out, keep = fn(dets)
+            assert set(keep.tolist()) == {0, 1}, (out, keep)
+            kept = {int(k): float(r[4]) for r, k in zip(out, keep)}
+            assert kept[1] == pytest.approx(0.01)

@@ -125,6 +125,19 @@ class TestStepper:
         left, right = lg[:, :, :4].mean(), lg[:, :, 4:].mean()
         assert left > right, (left, right)
 
+    def test_policy_finite_guard_sees_all_leaves(self, params, stepper):
+        """A NaN confined to a NON-first param leaf must trip the guard
+        (the round-2 guard checked only the first leaf)."""
+        state = stepper.init_state(params, jax.random.PRNGKey(4))
+        FixedCapacityStepper.check_policy_finite(state["policy"], "warmup")
+        leaves, treedef = jax.tree_util.tree_flatten(state["policy"]["params"])
+        assert len(leaves) > 1
+        leaves[-1] = leaves[-1].at[(0,) * leaves[-1].ndim].set(jnp.nan)
+        bad = {**state["policy"],
+               "params": jax.tree_util.tree_unflatten(treedef, leaves)}
+        with pytest.raises(FloatingPointError):
+            FixedCapacityStepper.check_policy_finite(bad, "warmup")
+
     def test_reset_temporal_keeps_policy(self, params, stepper):
         state = stepper.init_state(params, jax.random.PRNGKey(3))
         state = jax.jit(stepper.first_step)(params, state, frames(1)[0])
