@@ -12,11 +12,19 @@ machinery, reward, and update schedule are unchanged, and real-loop
 convergence is pinned by tests) — pass ``--policy-arch ref`` for the
 reference PolicyNet architecture.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+headline semseg number, printed LAST so the driver's parser picks it up.
+Before that it also runs the detection benchmark (``bench_detection.py``)
+in a bounded subprocess and records its line in ``BENCH_detection.json``
+alongside, so detection throughput is captured by every driver run
+(reference detection cost anchor: ``Pedestron/README.md:51-62``).
 """
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -24,6 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 17.0  # semantic_segmentation/README.md:40 (GTX 1080 Ti fp16)
+
+
+def run_detection_bench(timeout_s: int = 1500) -> None:
+    """Run bench_detection.py in a subprocess; write BENCH_detection.json.
+
+    Failure-tolerant: a crash or timeout must never cost the headline
+    semseg line (logged to stderr only)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "BENCH_detection.json")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_detection.py")],
+            capture_output=True, text=True, timeout=timeout_s, cwd=here)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        rec = json.loads(line)
+        with open(out_path, "w") as f:
+            json.dump(rec, f)
+        print(f"detection bench: {line}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — never block the headline
+        print(f"detection bench failed ({type(e).__name__}: {e}); "
+              "continuing with semseg headline", file=sys.stderr)
 
 
 def main():
@@ -42,7 +71,12 @@ def main():
                     "trunk (same REINFORCE machinery, ~4x fewer policy "
                     "activation bytes; real-loop convergence validated in "
                     "tests); 'ref' = the reference PolicyNet architecture")
+    ap.add_argument("--skip-detection", action="store_true",
+                    help="skip the detection side-benchmark (local A/B runs)")
     args = ap.parse_args()
+
+    if not args.skip_detection:
+        run_detection_bench()
 
     from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
     from blockcopy_tpu.models.swiftnet import (

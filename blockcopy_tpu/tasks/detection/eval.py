@@ -186,23 +186,35 @@ class _StepperDetector:
         self.state = fn(self.params, self.state, img)
         self._frame_id += 1
 
+    def _fetch_results(self, dets, labels, valid):
+        """Host-side finish of one frame's fixed-size decode output.
+
+        ``nms_type='soft_nms'`` reruns the host soft-NMS rescoring here —
+        same semantics as the ladder engine (``models/csp.py`` simple_test);
+        the cost lands only on fetched frames (one annotated frame per
+        clip), so speed mode keeps its zero steady-state host syncs.
+        Reference capability: ``soft_nms_cpu.pyx`` via
+        ``mmdet/ops/nms/nms_wrapper.py``."""
+        from blockcopy_tpu.models.csp import (dets_to_bbox_results,
+                                              soft_nms_rescore)
+
+        if self.csp_cfg.nms_type == "soft_nms":
+            dets, labels, valid = soft_nms_rescore(dets, labels, valid,
+                                                   self.csp_cfg)
+        return dets_to_bbox_results(dets, labels, valid,
+                                    self.csp_cfg.num_classes)[0]
+
     def current_results(self):
         """bbox results of the latest stepped frame (single-device)."""
-        from blockcopy_tpu.models.csp import dets_to_bbox_results
-
-        return dets_to_bbox_results(self.state["dets"], self.state["labels"],
-                                    self.state["valid"],
-                                    self.csp_cfg.num_classes)[0]
+        return self._fetch_results(self.state["dets"], self.state["labels"],
+                                   self.state["valid"])
 
     def group_results(self):
         """Per-device bbox results from the current on-device dets."""
-        from blockcopy_tpu.models.csp import dets_to_bbox_results
-
         dets = np.asarray(self.state["dets"])
         labels = np.asarray(self.state["labels"])
         valid = np.asarray(self.state["valid"])
-        return [dets_to_bbox_results(dets[d], labels[d], valid[d],
-                                     self.csp_cfg.num_classes)[0]
+        return [self._fetch_results(dets[d], labels[d], valid[d])
                 for d in range(dets.shape[0])]
 
     @property

@@ -162,6 +162,38 @@ class TestDetectionStepper:
         assert dets.shape == (n_dev, 8, 5)
         assert np.isfinite(dets).all()
 
+    def test_soft_nms_reachable_in_speed_mode(self):
+        """``nms_type='soft_nms'`` must apply in speed mode too: on the
+        all-exec first frame the _StepperDetector fetch and the ladder
+        engine (which rescored since round 2) yield identical results
+        (regression: the stepper silently hard-NMSed soft-NMS configs)."""
+        from blockcopy_tpu.core.argparser import default_settings
+        from blockcopy_tpu.models.csp import CSPBlockCopy, CSPConfig, init_csp
+        from blockcopy_tpu.tasks.detection.eval import _StepperDetector
+
+        csp_cfg = CSPConfig(stage_blocks=(1, 1, 1, 1), nms_pre=64,
+                            max_per_img=8, nms_type="soft_nms")
+        params = init_csp(jax.random.PRNGKey(0), csp_cfg)
+        frame_shape = (1, 256, 256, 3)
+        settings = default_settings(block_policy="rl_objectdetection",
+                                    block_size=128, block_num_classes=1,
+                                    block_target=0.5)
+        det = _StepperDetector(params, csp_cfg, settings, frame_shape,
+                               jnp.float32)
+        rs = np.random.RandomState(7)
+        f = jnp.asarray(rs.randn(*frame_shape).astype(np.float32))
+        ours = det.simple_test(f)
+
+        engine = CSPBlockCopy(params, csp_cfg,
+                              default_settings(block_policy="all",
+                                               block_size=128,
+                                               block_num_classes=1))
+        ref = engine.simple_test(f)
+        for a, b in zip(ours, ref):
+            a = a[np.argsort(-a[:, 4])]
+            b = b[np.argsort(-b[:, 4])]
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
     def test_first_step_matches_ladder_engine(self):
         """All-exec frame 1: the fused stepper's decoded boxes must equal the
         ladder engine's (same model code, same decode)."""

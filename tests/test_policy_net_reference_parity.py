@@ -39,15 +39,26 @@ def ref_policy_net():
 
 def convert_policy_state_dict(sd):
     """torch PolicyNet state_dict -> (params, bn_state) pytrees of
-    ``blockcopy_tpu.policy.net``."""
+    ``blockcopy_tpu.policy.net``.
+
+    Every tensor is COPIED: ``jnp.asarray`` on the CPU backend zero-copies
+    a contiguous numpy view of a torch tensor, so without the copy the
+    returned pytree would alias live torch parameter storage — a later
+    in-place ``optimizer.step()`` on the torch side silently mutates the
+    "converted" params (burned a debugging session in the rollout-parity
+    work; only BN vectors aliased because conv weights go through a
+    non-contiguous transpose that forces a copy anyway)."""
+    def _np(t):
+        return np.array(np.asarray(t), copy=True)
+
     def conv(key):
-        return {"w": jnp.asarray(np.asarray(sd[key]).transpose(2, 3, 1, 0))}
+        return {"w": jnp.asarray(_np(sd[key]).transpose(2, 3, 1, 0))}
 
     def bn(prefix):
-        p = {"gamma": jnp.asarray(sd[f"{prefix}.weight"].numpy()),
-             "beta": jnp.asarray(sd[f"{prefix}.bias"].numpy())}
-        s = {"mean": jnp.asarray(sd[f"{prefix}.running_mean"].numpy()),
-             "var": jnp.asarray(sd[f"{prefix}.running_var"].numpy())}
+        p = {"gamma": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+             "beta": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+        s = {"mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+             "var": jnp.asarray(_np(sd[f"{prefix}.running_var"]))}
         return p, s
 
     params = {"conv1": conv("backbone.conv1.weight")}
@@ -70,7 +81,7 @@ def convert_policy_state_dict(sd):
     params["head1"] = conv("layers.1.0.weight")
     params["head1_bn"], bn_state["head1_bn"] = bn("layers.1.1")
     params["head2"] = conv("layers.2.0.weight")
-    params["head2"]["b"] = jnp.asarray(sd["layers.2.0.bias"].numpy())
+    params["head2"]["b"] = jnp.asarray(_np(sd["layers.2.0.bias"]))
     return params, bn_state
 
 
