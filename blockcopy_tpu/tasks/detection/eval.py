@@ -239,6 +239,14 @@ def _explicitly_passed(argv) -> set:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     logger.info("Arguments: %s", args)
+    # multi-host entry (reference init_dist analog, mmdet/apis/env.py:13-51):
+    # env-driven, strict no-op in a single-process launch
+    from blockcopy_tpu.parallel.distributed import maybe_initialize
+    if maybe_initialize():
+        import jax as _jax
+        logger.info("distributed: process %d/%d, %d global devices",
+                    _jax.process_index(), _jax.process_count(),
+                    len(_jax.devices()))
     timings.set_level(args.timings)
     dtype = jnp.bfloat16 if args.half else jnp.float32
 

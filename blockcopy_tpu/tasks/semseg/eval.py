@@ -120,6 +120,15 @@ def build_argparser():
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     logger.info("Arguments: %s", args)
+    # multi-host entry (reference init_dist analog, mmdet/apis/env.py:13-51):
+    # env-driven, strict no-op in a single-process launch; must run before
+    # the first device use
+    from blockcopy_tpu.parallel.distributed import maybe_initialize
+    if maybe_initialize():
+        import jax as _jax
+        logger.info("distributed: process %d/%d, %d global devices",
+                    _jax.process_index(), _jax.process_count(),
+                    len(_jax.devices()))
     num_classes = args.block_num_classes
     timings.set_level(args.timings)
 

@@ -1,0 +1,121 @@
+"""Multi-host startup wiring (``parallel/distributed.py``) — the analog of
+the reference's ``init_dist`` launchers (``Pedestron/mmdet/apis/env.py:
+13-51``).  Real multi-process launches need a pod; these tests pin the
+single-process no-op contract, the launcher env parsing, and the
+global-mesh divisibility logic under a mocked process count.
+"""
+
+import os
+from unittest import mock
+
+import jax
+import pytest
+
+from blockcopy_tpu.parallel import distributed
+
+
+@pytest.fixture(autouse=True)
+def clean_env(monkeypatch):
+    for k in ("WORLD_SIZE", "RANK", "MASTER_ADDR", "MASTER_PORT",
+              "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+              "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    distributed._initialized = False
+    yield
+    distributed._initialized = False
+
+
+class TestDetectEnv:
+    def test_no_signal_returns_none(self):
+        assert distributed.detect_env() is None
+
+    def test_world_size_one_is_single_process(self, monkeypatch):
+        monkeypatch.setenv("WORLD_SIZE", "1")
+        assert distributed.detect_env() is None
+
+    def test_torch_launcher_contract(self, monkeypatch):
+        """MASTER_ADDR/PORT + WORLD_SIZE/RANK, the reference's pytorch
+        launcher env contract (env.py:22-29)."""
+        monkeypatch.setenv("WORLD_SIZE", "4")
+        monkeypatch.setenv("RANK", "2")
+        monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+        monkeypatch.setenv("MASTER_PORT", "29500")
+        env = distributed.detect_env()
+        assert env == {"coordinator_address": "10.0.0.1:29500",
+                       "num_processes": 4, "process_id": 2}
+
+    def test_jax_native_contract(self, monkeypatch):
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+        monkeypatch.setenv("JAX_PROCESS_ID", "1")
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+        env = distributed.detect_env()
+        assert env == {"coordinator_address": "host0:1234",
+                       "num_processes": 2, "process_id": 1}
+
+
+class TestMaybeInitialize:
+    def test_single_process_is_noop(self):
+        """No env signal, no args: must NOT touch
+        jax.distributed.initialize."""
+        with mock.patch.object(jax.distributed, "initialize") as ini:
+            assert distributed.maybe_initialize() is False
+        ini.assert_not_called()
+
+    def test_explicit_num_processes_one_is_noop(self):
+        with mock.patch.object(jax.distributed, "initialize") as ini:
+            assert distributed.maybe_initialize(
+                coordinator_address="x:1", num_processes=1,
+                process_id=0) is False
+        ini.assert_not_called()
+
+    def test_env_driven_initialize(self, monkeypatch):
+        monkeypatch.setenv("WORLD_SIZE", "2")
+        monkeypatch.setenv("RANK", "1")
+        monkeypatch.setenv("MASTER_ADDR", "h0")
+        with mock.patch.object(jax.distributed, "initialize") as ini:
+            assert distributed.maybe_initialize() is True
+        ini.assert_called_once_with(coordinator_address="h0:8476",
+                                    num_processes=2, process_id=1)
+
+    def test_idempotent(self, monkeypatch):
+        monkeypatch.setenv("WORLD_SIZE", "2")
+        monkeypatch.setenv("RANK", "0")
+        with mock.patch.object(jax.distributed, "initialize") as ini:
+            assert distributed.maybe_initialize() is True
+            assert distributed.maybe_initialize() is True
+        assert ini.call_count == 1
+
+
+class TestGlobalMesh:
+    def test_single_process_all_devices(self):
+        mesh = distributed.global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+
+    def test_multi_process_divisibility(self):
+        """With a mocked process count, n_devices must divide evenly so
+        every host feeds the same number of clip lanes."""
+        with mock.patch.object(jax, "process_count", return_value=4):
+            mesh = distributed.global_mesh(8)
+            assert mesh.devices.size == 8
+            with pytest.raises(ValueError, match="divisible"):
+                distributed.global_mesh(6)
+
+    def test_local_batch_slice(self):
+        with mock.patch.object(jax, "process_count", return_value=4), \
+                mock.patch.object(jax, "process_index", return_value=2):
+            assert distributed.local_batch_slice(8) == (4, 6)
+
+
+class TestCLIEntry:
+    def test_semseg_cli_single_process_runs(self):
+        """The CLI calls maybe_initialize() at startup; in a single-process
+        env that must be a no-op and the run must succeed end-to-end."""
+        from blockcopy_tpu.tasks.semseg import eval as cli
+        with mock.patch.object(jax.distributed, "initialize") as ini:
+            results = cli.main([
+                "--synthetic", "--res", "128", "--clip-length", "2",
+                "--num-clips-warmup", "1", "--num-clips-eval", "1",
+                "--model-backbone", "resnet18",
+            ])
+        ini.assert_not_called()
+        assert "fps" in results
