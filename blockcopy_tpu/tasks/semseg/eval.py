@@ -208,6 +208,7 @@ def main(argv=None):
             stepper_state["state"] = clip_parallel.init_parallel_state(
                 stepper, params, jax.random.PRNGKey(1), args.num_devices)
             stepper_state["devices"] = args.num_devices
+            stepper_state["mesh"] = mesh
             logger.info("mesh eval: %d devices x 1 clip", args.num_devices)
         else:
             stepper_state["first"] = jax.jit(stepper.first_step,
@@ -414,11 +415,32 @@ def main(argv=None):
             stepper_state["state"]["policy"], phase)
 
     def load_stepper_policy(path):
-        from blockcopy_tpu.utils.checkpoint import load_npz
+        from blockcopy_tpu.utils.checkpoint import load_npz, load_orbax
         pol = stepper_state["state"]["policy"]
         d = stepper_state.get("devices", 0)
-        # checkpoints are single-replica: load flat, then broadcast over the
-        # mesh (sampling keys stay distinct per device so clips explore
+        if os.path.isdir(path):
+            # orbax checkpoint (a directory): restores the FULL mesh-stacked
+            # pytree — per-replica keys included, no host stack/unstack.
+            # Restore against an ABSTRACT like carrying the mesh sharding
+            # (dim 0 over the clip axis): orbax then materializes shards in
+            # place; a concrete like would commit everything to device 0
+            # and poison the sharded jit.
+            like = pol
+            if d:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from blockcopy_tpu.parallel import clip_parallel
+                spec = NamedSharding(stepper_state["mesh"],
+                                     P(clip_parallel.AXIS))
+                like = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                   sharding=spec), pol)
+            stepper_state["state"] = {**stepper_state["state"],
+                                      "policy": load_orbax(path, like)}
+            return
+        # npz checkpoints are single-replica: load flat, then broadcast over
+        # the mesh (sampling keys stay distinct per device so clips explore
         # independently)
         like = jax.tree.map(lambda x: x[0], pol) if d else pol
         try:
@@ -440,14 +462,21 @@ def main(argv=None):
         stepper_state["state"] = {**stepper_state["state"], "policy": loaded}
 
     def save_stepper_policy(path):
-        from blockcopy_tpu.utils.checkpoint import save_params
+        from blockcopy_tpu.utils.checkpoint import save_orbax, save_params
         pol = stepper_state["state"]["policy"]
+        if stepper_state.get("devices", 0) and not path.endswith(".npz"):
+            # mesh state goes through orbax AS-IS (sharded save, no host
+            # gather, per-replica sampling keys preserved); an explicit
+            # .npz path keeps the legacy single-replica flat file
+            save_orbax(path, pol)
+            return
         if stepper_state.get("devices", 0):
             # replicas share params (pmean'd grads): device 0 is canonical
             pol = jax.tree.map(lambda x: x[0], pol)
         save_params(path, pol)
 
-    if args.policy_checkpoint and os.path.isfile(args.policy_checkpoint):
+    # os.path.exists, not isfile: orbax checkpoints are directories
+    if args.policy_checkpoint and os.path.exists(args.policy_checkpoint):
         if model is not None:
             logger.info("loading policy state from %s", args.policy_checkpoint)
             model.load_policy(args.policy_checkpoint)
