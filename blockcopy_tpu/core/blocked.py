@@ -231,11 +231,15 @@ def scatter_strips(strips: Dict[str, jax.Array], pack: BlockPack,
     return {"rows": new_rows, "cols": new_cols}
 
 
-def halo_gather_strips(strips: Dict[str, jax.Array], pack_idx: jax.Array,
-                       pad: int, n: int, gh: int, gw: int,
-                       center: jax.Array) -> jax.Array:
-    """Assemble (K, bs+2p, bs+2p, C) padded blocks from edge-strip storage.
-    Semantics identical to ``halo_gather`` over a full canvas."""
+def gather_halo_strips(strips: Dict[str, jax.Array], pack_idx: jax.Array,
+                       pad: int, n: int, gh: int, gw: int) -> Dict[str, jax.Array]:
+    """Gather the 8 halo pieces of every executed block from strip storage.
+
+    Returns ``{top (K,p,bs,C), bottom, left (K,bs,p,C), right,
+    top_left (K,p,p,C), top_right, bottom_left, bottom_right}`` — fresh
+    values where the neighbor executed this frame (strips were just
+    scattered), previous-frame values otherwise, zeros past image borders
+    (sentinel row)."""
     p = pad
     rows, cols = strips["rows"], strips["cols"]
     sp = rows.shape[1] // 2  # stored strip width (== site's pad)
@@ -244,18 +248,29 @@ def halo_gather_strips(strips: Dict[str, jax.Array], pack_idx: jax.Array,
     tl, t, tr, l, r, bl, b, br = (nbr[:, i] for i in range(8))
 
     take = lambda src, i: jnp.take(src, i, axis=0, mode="clip")
-    top = take(rows[:, p:], t)            # neighbor-above's bottom rows
-    bottom = take(rows[:, :p], b)         # neighbor-below's top rows
-    left = take(cols[:, :, p:], l)        # left neighbor's right cols
-    right = take(cols[:, :, :p], r)       # right neighbor's left cols
-    top_left = take(rows[:, p:, -p:], tl)
-    top_right = take(rows[:, p:, :p], tr)
-    bottom_left = take(rows[:, :p, -p:], bl)
-    bottom_right = take(rows[:, :p, :p], br)
+    return {
+        "top": take(rows[:, p:], t),          # neighbor-above's bottom rows
+        "bottom": take(rows[:, :p], b),       # neighbor-below's top rows
+        "left": take(cols[:, :, p:], l),      # left neighbor's right cols
+        "right": take(cols[:, :, :p], r),     # right neighbor's left cols
+        "top_left": take(rows[:, p:, -p:], tl),
+        "top_right": take(rows[:, p:, :p], tr),
+        "bottom_left": take(rows[:, :p, -p:], bl),
+        "bottom_right": take(rows[:, :p, :p], br),
+    }
 
-    row_top = jnp.concatenate([top_left, top, top_right], axis=2)
-    row_mid = jnp.concatenate([left, center, right], axis=2)
-    row_bot = jnp.concatenate([bottom_left, bottom, bottom_right], axis=2)
+
+def halo_gather_strips(strips: Dict[str, jax.Array], pack_idx: jax.Array,
+                       pad: int, n: int, gh: int, gw: int,
+                       center: jax.Array) -> jax.Array:
+    """Assemble (K, bs+2p, bs+2p, C) padded blocks from edge-strip storage.
+    Semantics identical to ``halo_gather`` over a full canvas."""
+    h = gather_halo_strips(strips, pack_idx, pad, n, gh, gw)
+    row_top = jnp.concatenate(
+        [h["top_left"], h["top"], h["top_right"]], axis=2)
+    row_mid = jnp.concatenate([h["left"], center, h["right"]], axis=2)
+    row_bot = jnp.concatenate(
+        [h["bottom_left"], h["bottom"], h["bottom_right"]], axis=2)
     return jnp.concatenate([row_top, row_mid, row_bot], axis=1)
 
 
@@ -382,6 +397,23 @@ class ExecCtx:
                                       self.gw, center)
         return halo_gather(canvas, x.idx, pad, self.n, self.gh, self.gw,
                            center=center)
+
+    def exchange_pieces(self, name: str, x: BlockPack,
+                        pad: int) -> Optional[Dict[str, jax.Array]]:
+        """Like ``exchange`` but returns the 8 halo pieces *unassembled*
+        (no ``(K, bs+2p, bs+2p, C)`` materialization) — the input of the
+        border-correction conv lowering (``ops/layers.py:conv2d``).
+
+        Only strip storage supports this; returns ``None`` under the
+        'full'/'pallas' canvas lowerings (caller falls back to
+        ``exchange``)."""
+        if HALO_IMPL != "strips":
+            return None
+        strips = self.strip_canvas_for(name, x, pad)
+        strips = scatter_strips(strips, x, pad)
+        self.canvases[name] = strips
+        return gather_halo_strips(strips, x.idx, pad, self.n, self.gh,
+                                  self.gw)
 
     def store_dense(self, name: str, x: BlockPack) -> jax.Array:
         """Scatter blocks into the named canvas and return the dense image —

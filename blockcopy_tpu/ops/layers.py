@@ -53,6 +53,18 @@ BLOCKPAD_WITH_ZEROES = _os.environ.get("BLOCKCOPY_TPU_ZERO_HALO", "0") == "1"
 # MXU tiler; A/B via full-program bench.
 TALL_CONV_MAX_BS = int(_os.environ.get("BLOCKCOPY_TPU_TALL_CONV_BS", "0"))
 
+# Border-correction lowering for blocked 3x3 convs: instead of assembling the
+# halo-padded ``(K, bs+2p, bs+2p, C)`` tensor (one HBM write + read of every
+# executed block's padded copy per conv site), run the conv on the packed
+# centers with zero padding and ADD small strip-conv corrections to the
+# output border rows/cols.  Only the (tiny) halo strips are read; XLA fuses
+# the padded-correction adds into the conv output epilogue.  This removes the
+# materialization the reference pays in its transfer+repad kernel pair
+# (``blockcopy/blockcopy/utils/blockpad.py:77-156``) without a custom kernel.
+# Applies to k=3 convs with p == dilation and stride 1 or 2 over strip
+# storage; other shapes (7x7 stem, pooling) keep the exchange path.
+BORDER_CONV = _os.environ.get("BLOCKCOPY_TPU_BORDER_CONV", "1") == "1"
+
 
 def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:
     return jnp.pad(data, ((0, 0), (p, p), (p, p), (0, 0)))
@@ -82,6 +94,90 @@ def add(a: Arrayish, b: Arrayish) -> Arrayish:
 def concat_channels(xs: Sequence[Arrayish]) -> Arrayish:
     datas = [_data(x) for x in xs]
     return _rewrap(xs[0], jnp.concatenate(datas, axis=-1))
+
+
+def _border_conv(
+    ctx: ExecCtx,
+    name: str,
+    x: BlockPack,
+    w: jax.Array,
+    b: Optional[jax.Array],
+    s: int,
+    d: int,
+    p: int,
+    groups: int,
+) -> Optional[jax.Array]:
+    """Blocked 3x3 conv without halo materialization (see BORDER_CONV).
+
+    The conv over the conceptual padded block decomposes exactly: every
+    halo row r of the padded input maps to a unique (output row y, tap i)
+    with ``y*s + i*d == r`` for the supported shapes (k=3, p == d,
+    s in {1, 2}), so the halo's contribution is four small 1D strip convs
+    added to the output borders:
+
+    * top/bottom rows (full width bs+2p, corners included) with taps
+      ``W[0]`` / ``W[2]``,
+    * left/right columns (center rows only — corners already counted —
+      zero-padded vertically by p) with taps ``W[:, 0]`` / ``W[:, 2]``.
+
+    Under stride 2 the bottom/right halo is never read (even block size),
+    so only the top/left corrections exist.  Returns ``None`` when the
+    canvas lowering is not strip storage.
+    """
+    pieces = ctx.exchange_pieces(name, x, p)
+    if pieces is None:
+        return None
+    data = x.data
+    bs = data.shape[1]
+    dt = data.dtype
+
+    def raw(inp, ker, strides, dil, pad_cfg):
+        return lax.conv_general_dilated(
+            inp,
+            ker.astype(dt),
+            window_strides=strides,
+            padding=pad_cfg,
+            rhs_dilation=dil,
+            dimension_numbers=DIMNUMS,
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+
+    out = raw(data, w, (s, s), (d, d), [(p, p), (p, p)])
+    out_bs = out.shape[1]
+
+    cast = lambda piece: piece.astype(dt)
+    # Row corrections: halo rows r in [0,p) -> (y=r/s, i=0); rows
+    # [bs+p, bs+2p) -> (y=out_bs-p+rr, i=2) — stride-s conv picks the
+    # rows that land on integer y.
+    top = jnp.concatenate(
+        [cast(pieces["top_left"]), cast(pieces["top"]),
+         cast(pieces["top_right"])], axis=2)          # (K, p, bs+2p, C)
+    tc = raw(top, w[0:1], (s, s), (1, d), "VALID")    # (K, pt, out_bs, Co)
+    corr = jnp.pad(tc, ((0, 0), (0, out_bs - tc.shape[1]), (0, 0), (0, 0)))
+    if s == 1:
+        bot = jnp.concatenate(
+            [cast(pieces["bottom_left"]), cast(pieces["bottom"]),
+             cast(pieces["bottom_right"])], axis=2)
+        bc = raw(bot, w[2:3], (s, s), (1, d), "VALID")
+        corr = corr + jnp.pad(
+            bc, ((0, 0), (out_bs - bc.shape[1], 0), (0, 0), (0, 0)))
+    # Column corrections: zero-pad vertically by p so corner taps (already
+    # counted by the row corrections) read zeros.
+    lc = raw(cast(pieces["left"]), w[:, 0:1], (s, s), (d, 1),
+             [(p, p), (0, 0)])                        # (K, out_bs, pl, Co)
+    corr = corr + jnp.pad(
+        lc, ((0, 0), (0, 0), (0, out_bs - lc.shape[2]), (0, 0)))
+    if s == 1:
+        rc = raw(cast(pieces["right"]), w[:, 2:3], (s, s), (d, 1),
+                 [(p, p), (0, 0)])
+        corr = corr + jnp.pad(
+            rc, ((0, 0), (0, 0), (out_bs - rc.shape[2], 0), (0, 0)))
+
+    out = out + corr
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(dt)
 
 
 def conv2d(
@@ -127,6 +223,15 @@ def conv2d(
     cin = w.shape[2]
     if isinstance(x, BlockPack) and not ctx.is_dense:
         if p > 0:
+            if (BORDER_CONV and not BLOCKPAD_WITH_ZEROES and kh == 3
+                    and kw == 3 and p == d and s in (1, 2)
+                    and (s == 1 or x.data.shape[1] % 2 == 0)):
+                o = _border_conv(ctx, name, x, w, b, s, d, p, groups)
+                if o is not None:
+                    out = x.with_data(o)
+                    ctx.add_macs(
+                        float(np.prod(out.data.shape)) * cin * kh * kw, name)
+                    return out
             if BLOCKPAD_WITH_ZEROES:  # debug/ablation mode
                 data = _zero_pad_blocks(x.data, p)
             else:
@@ -265,6 +370,67 @@ def group_norm(
     return out.astype(x.dtype)
 
 
+def _border_max_pool(
+    ctx: ExecCtx, name: str, x: BlockPack, s: int
+) -> Optional[jax.Array]:
+    """Blocked 3x3/p1 max pool without halo materialization (BORDER_CONV).
+
+    Same decomposition as ``_border_conv`` with max in place of the dot:
+    pool the packed centers with -inf padding, then elementwise-max the
+    border rows/cols against window maxima of the halo strips.  Strips carry
+    sentinel zeros past image borders, reproducing the exchange path's
+    (reference blockpad, ``utils/blockpad.py:119-120``) zero-border quirk
+    exactly.  Under stride 2 the bottom/right halo is never read.
+    """
+    pieces = ctx.exchange_pieces(name, x, 1)
+    if pieces is None:
+        return None
+    data = x.data
+    dt = data.dtype
+    neg = np.array(-np.inf, dt)[()]
+
+    def wmax(inp, window, strides, pad_cfg="VALID"):
+        return lax.reduce_window(
+            inp, neg, lax.max,
+            window_dimensions=(1,) + window + (1,),
+            window_strides=(1,) + strides + (1,),
+            padding=pad_cfg,
+        )
+
+    padded = jnp.pad(data, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=neg)
+    out = wmax(padded, (3, 3), (s, s))
+    out_bs = out.shape[1]
+
+    cast = lambda piece: piece.astype(dt)
+    top = jnp.concatenate(
+        [cast(pieces["top_left"]), cast(pieces["top"]),
+         cast(pieces["top_right"])], axis=2)          # (K, 1, bs+2, C)
+    tc = wmax(top, (1, 3), (1, s))                    # (K, 1, out_bs, C)
+    out = jnp.maximum(out, jnp.pad(
+        tc, ((0, 0), (0, out_bs - 1), (0, 0), (0, 0)),
+        constant_values=neg))
+    lc = wmax(cast(pieces["left"]), (3, 1), (s, 1),
+              ((0, 0), (1, 1), (0, 0), (0, 0)))       # (K, out_bs, 1, C)
+    out = jnp.maximum(out, jnp.pad(
+        lc, ((0, 0), (0, 0), (0, out_bs - 1), (0, 0)),
+        constant_values=neg))
+    if s == 1:
+        bot = jnp.concatenate(
+            [cast(pieces["bottom_left"]), cast(pieces["bottom"]),
+             cast(pieces["bottom_right"])], axis=2)
+        bc = wmax(bot, (1, 3), (1, s))
+        out = jnp.maximum(out, jnp.pad(
+            bc, ((0, 0), (out_bs - 1, 0), (0, 0), (0, 0)),
+            constant_values=neg))
+        rc = wmax(cast(pieces["right"]), (3, 1), (s, 1),
+                  ((0, 0), (1, 1), (0, 0), (0, 0)))
+        out = jnp.maximum(out, jnp.pad(
+            rc, ((0, 0), (0, 0), (out_bs - 1, 0), (0, 0)),
+            constant_values=neg))
+    return out
+
+
 def max_pool2d(
     ctx: ExecCtx,
     name: str,
@@ -296,6 +462,12 @@ def max_pool2d(
 
     if isinstance(x, BlockPack) and not ctx.is_dense:
         if padding > 0:
+            if (BORDER_CONV and kernel == 3 and padding == 1
+                    and stride in (1, 2)
+                    and (stride == 1 or x.data.shape[1] % 2 == 0)):
+                o = _border_max_pool(ctx, name, x, stride)
+                if o is not None:
+                    return x.with_data(o)
             data = ctx.exchange(name, x, padding)
         else:
             data = x.data

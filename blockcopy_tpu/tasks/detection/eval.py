@@ -115,6 +115,20 @@ def build_argparser():
     p.add_argument("--output-dir", type=str, default="",
                    help="write detection/grid visualization overlays")
     p.add_argument("--timings", type=int, default=0)
+    p.add_argument("--checkpoint-start", type=int, default=-1,
+                   help="with --checkpoint-end: evaluate the epoch range "
+                   "[start, end) of a training run, treating --checkpoint "
+                   "as the run directory of epoch_N[_teacher].npz files "
+                   "and POLLING until each appears — the reference's "
+                   "eval-alongside-training loop "
+                   "(Pedestron tools/test_city_person.py:250-290)")
+    p.add_argument("--checkpoint-end", type=int, default=-1)
+    p.add_argument("--mean-teacher", action="store_true",
+                   help="epoch-range mode evaluates the EMA-teacher "
+                   "checkpoints (reference .pth.stu role)")
+    p.add_argument("--poll-seconds", type=float, default=5.0,
+                   help="epoch-range mode: wait granularity (reference "
+                   "time.sleep(5), test_city_person.py:278-284)")
     p.add_argument("--speed-mode", action="store_true",
                    help="fused fixed-capacity detection stepper: policy + "
                    "blocked CSP + on-device decode/NMS/IoU-gain as one "
@@ -236,9 +250,69 @@ def _explicitly_passed(argv) -> set:
     return set(vars(p.parse_args(argv)).keys())
 
 
+def _wait_for_epoch(run_dir, epoch, end, suffix, poll_s):
+    """Block until ``epoch_<i><suffix>.npz`` exists — and, unless this is
+    the final epoch of the range, until the NEXT epoch's file exists too
+    (the writer has moved on, so the file is complete).  Reference:
+    ``Pedestron/tools/test_city_person.py:276-284``."""
+    path = os.path.join(run_dir, f"epoch_{epoch}{suffix}.npz")
+    while not os.path.exists(path):
+        logger.info("path not existing %s", path)
+        time.sleep(poll_s)
+    nxt = os.path.join(run_dir, f"epoch_{epoch + 1}{suffix}.npz")
+    while epoch + 1 != end and not os.path.exists(nxt):
+        logger.info("path not existing %s", nxt)
+        time.sleep(poll_s)
+    return path
+
+
+def _run_epoch_range(args, argv):
+    """Evaluate every epoch checkpoint of a (possibly still running)
+    training run, polling for each file like the reference driver."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # strip the range/teacher/poll flags and any --checkpoint value from
+    # the per-epoch argv (all use "--flag value" or store_true forms)
+    drop_with_value = {"--checkpoint", "--checkpoint-start",
+                       "--checkpoint-end", "--poll-seconds", "--out"}
+    cleaned, skip = [], False
+    for tok in argv:
+        if skip:
+            skip = False
+            continue
+        if tok in drop_with_value:
+            skip = True
+            continue
+        if tok.split("=", 1)[0] in drop_with_value:
+            continue
+        if tok == "--mean-teacher":
+            continue
+        cleaned.append(tok)
+    suffix = "_teacher" if args.mean_teacher else ""
+    summaries = []
+    for epoch in range(args.checkpoint_start, args.checkpoint_end):
+        path = _wait_for_epoch(args.checkpoint, epoch, args.checkpoint_end,
+                               suffix, args.poll_seconds)
+        ep_argv = cleaned + ["--checkpoint", path]
+        if args.out:
+            root, ext = os.path.splitext(args.out)
+            ep_argv += ["--out", f"{root}_epoch{epoch}{ext or '.json'}"]
+        logger.info("## epoch %d: evaluating %s", epoch, path)
+        summaries.append({"epoch": epoch,
+                          "result": main(ep_argv)})
+    return summaries
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     logger.info("Arguments: %s", args)
+    if args.checkpoint_start >= 0 or args.checkpoint_end >= 0:
+        assert 0 <= args.checkpoint_start < args.checkpoint_end, \
+            "--checkpoint-start/--checkpoint-end must form a valid range"
+        assert args.checkpoint and not os.path.isfile(args.checkpoint), \
+            "epoch-range mode: --checkpoint is the training run DIRECTORY"
+        return _run_epoch_range(args, argv)
     # multi-host entry (reference init_dist analog, mmdet/apis/env.py:13-51):
     # env-driven, strict no-op in a single-process launch
     from blockcopy_tpu.parallel.distributed import maybe_initialize
