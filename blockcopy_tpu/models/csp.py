@@ -160,6 +160,14 @@ def init_csp(key, cfg: CSPConfig, dtype=jnp.float32) -> Dict:
 
 
 def _bottleneck_block(ctx, name, x, p, stride, dilation):
+    # fused Pallas tail for the eligible (stride-1, dilation-1, identity)
+    # blocks — same gate and kernel as the SwiftNet backbone; CSP's dilated
+    # layer4 stays on the XLA path
+    from blockcopy_tpu.models.swiftnet import maybe_fused_bottleneck
+
+    out = maybe_fused_bottleneck(ctx, name, x, p, stride, dilation=dilation)
+    if out is not None:
+        return out
     identity = x
     if "downsample" in p:
         identity = L.conv2d(ctx, f"{name}.ds", x, p["downsample"]["conv"]["w"],

@@ -22,9 +22,30 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
-from blockcopy_tpu.core.blocked import ExecCtx
+from blockcopy_tpu.core import blocked as _blocked
+from blockcopy_tpu.core.blocked import BlockPack, ExecCtx
 from blockcopy_tpu.core.engine import noblocks
 from blockcopy_tpu.ops import layers as L
+
+# Fused Pallas bottleneck tail (halo assembly + 3x3 conv + BN/ReLU + 1x1
+# conv + residual as ONE kernel, ops/pallas/bottleneck.py) for stride-1
+# identity bottlenecks whose 3x3 width is lane-aligned and block >= 8 px
+# (measured on v5e: 4.0x / 2.2x per-bottleneck at layer2/layer3 shapes;
+# 0.8x at bs=4 layer4 shapes, hence the bs gate).  Tri-state: None = auto
+# (on for TPU backends, off elsewhere — interpret mode is for tests);
+# BLOCKCOPY_TPU_FUSED_BOTTLENECK=0/1 forces.
+import os as _os
+FUSED_BOTTLENECK = {"0": False, "1": True}.get(
+    _os.environ.get("BLOCKCOPY_TPU_FUSED_BOTTLENECK", ""), None)
+
+
+def _fused_default() -> bool:
+    # Best-known default, set by full-program A/B on the v5e headline bench
+    # (per-bottleneck micro wins of 2-4x did NOT survive at program level
+    # for the first kernel revision: 208.8 vs 229.6 FPS; relay micro-benches
+    # overstate XLA op costs — trust only full-program numbers).  Flip to
+    # _is_tpu() when a revision beats the XLA path end-to-end.
+    return False
 
 # ---------------------------------------------------------------------------
 # configuration
@@ -234,7 +255,49 @@ def _basic_block(ctx, name, x, p, stride):
     return L.relu(out)
 
 
+def _fused_bottleneck(ctx: ExecCtx, name: str, x: BlockPack, p):
+    """Stride-1 identity bottleneck with the tail fused into one Pallas
+    kernel.  conv1 stays on the XLA path (a plain 1x1 matmul XLA already
+    lowers well); strips of h1 are scattered into the SAME named canvas the
+    exchange path would use, so temporal state is interchangeable between
+    lowerings frame-to-frame."""
+    import numpy as _np
+
+    from blockcopy_tpu.ops.pallas.bottleneck import bottleneck_tail
+
+    h1 = L.conv2d(ctx, f"{name}.conv1", x, p["conv1"]["w"], padding=0)
+    h1 = L.relu(L.batch_norm(h1, p["bn1"]["scale"], p["bn1"]["bias"]))
+    pieces = ctx.exchange_pieces(f"{name}.conv2", h1, 1)
+    y = bottleneck_tail(
+        h1.data, x.data, pieces,
+        p["conv2"]["w"], p["bn2"]["scale"], p["bn2"]["bias"],
+        p["conv3"]["w"][0, 0], p["bn3"]["scale"], p["bn3"]["bias"])
+    c_mid = p["conv2"]["w"].shape[2]
+    ctx.add_macs(float(_np.prod(h1.data.shape)) * c_mid * 9,
+                 f"{name}.conv2")
+    ctx.add_macs(float(_np.prod(y.shape)) * c_mid, f"{name}.conv3")
+    return x.with_data(y)
+
+
+def maybe_fused_bottleneck(ctx, name, x, p, stride, groups=1, dilation=1):
+    """Run the fused Pallas tail when eligible, else return None (caller
+    falls through to the XLA path).  Shared by SwiftNet and CSP backbones."""
+    fused = FUSED_BOTTLENECK if FUSED_BOTTLENECK is not None \
+        else _fused_default()
+    if (fused and isinstance(x, BlockPack) and not ctx.is_dense
+            and not ctx.building and stride == 1 and groups == 1
+            and dilation == 1 and "downsample" not in p
+            and _blocked.HALO_IMPL == "strips"
+            and p["conv2"]["w"].shape[2] % 128 == 0
+            and x.data.shape[1] >= 8):
+        return _fused_bottleneck(ctx, name, x, p)
+    return None
+
+
 def _bottleneck_block(ctx, name, x, p, stride, groups=1):
+    out = maybe_fused_bottleneck(ctx, name, x, p, stride, groups)
+    if out is not None:
+        return out
     identity = x
     if "downsample" in p:
         identity = L.conv2d(ctx, f"{name}.ds", x, p["downsample"]["conv"]["w"],

@@ -130,51 +130,69 @@ def _border_conv(
     data = x.data
     bs = data.shape[1]
     dt = data.dtype
+    cin_g, cout = w.shape[2], w.shape[3]
 
-    def raw(inp, ker, strides, dil, pad_cfg):
-        return lax.conv_general_dilated(
-            inp,
-            ker.astype(dt),
-            window_strides=strides,
-            padding=pad_cfg,
-            rhs_dilation=dil,
-            dimension_numbers=DIMNUMS,
-            feature_group_count=groups,
-            preferred_element_type=jnp.float32,
-        )
-
-    out = raw(data, w, (s, s), (d, d), [(p, p), (p, p)])
+    out = lax.conv_general_dilated(
+        data, w.astype(dt), window_strides=(s, s),
+        padding=[(p, p), (p, p)], rhs_dilation=(d, d),
+        dimension_numbers=DIMNUMS, feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
     out_bs = out.shape[1]
 
+    # Corrections are tap-stacked matmuls, not tiny convs (a (...,3,G,Cg) x
+    # (3,Cg,G,Cog) contraction lowers to one clean MXU dot; 1-row convs do
+    # not), and they land on the output via .at[].add border slices so only
+    # border bytes are re-touched (a padded full-size correction add was
+    # measured 8% SLOWER than the exchange path it replaced).
+    wt = w.astype(dt).reshape(3, 3, cin_g, groups, cout // groups)
+
+    def tap_dot(stack, taps):
+        # stack: (K, rows, cols, 3, C) shifted slices; taps: (3, Cg, G, Cog)
+        k_, r_, c_, _, _ = stack.shape
+        stack = stack.reshape(k_, r_, c_, 3, groups, cin_g)
+        return jnp.einsum("krztgc,tcgo->krzgo", stack, taps,
+                          preferred_element_type=jnp.float32) \
+            .reshape(k_, r_, c_, cout)
+
+    def hshift(row, j):
+        # strided horizontal slice: in_pad col x*s + j*d for x in [0,out_bs)
+        lo = j * d
+        return row[:, :, lo:lo + s * (out_bs - 1) + 1:s, :]
+
+    def vshift(col, i):
+        lo = i * d
+        return col[:, lo:lo + s * (out_bs - 1) + 1:s, :, :]
+
     cast = lambda piece: piece.astype(dt)
-    # Row corrections: halo rows r in [0,p) -> (y=r/s, i=0); rows
-    # [bs+p, bs+2p) -> (y=out_bs-p+rr, i=2) — stride-s conv picks the
-    # rows that land on integer y.
+    # Top halo rows r in [0,p) -> (out row y=r/s, tap i=0); the full-width
+    # row (corners included) covers all j taps.
     top = jnp.concatenate(
         [cast(pieces["top_left"]), cast(pieces["top"]),
          cast(pieces["top_right"])], axis=2)          # (K, p, bs+2p, C)
-    tc = raw(top, w[0:1], (s, s), (1, d), "VALID")    # (K, pt, out_bs, Co)
-    corr = jnp.pad(tc, ((0, 0), (0, out_bs - tc.shape[1]), (0, 0), (0, 0)))
+    top = top[:, ::s]                                 # rows landing on int y
+    tc = tap_dot(jnp.stack([hshift(top, j) for j in range(3)], axis=3),
+                 wt[0])
+    out = out.at[:, :tc.shape[1]].add(tc)
+    # Left halo cols (center rows only — corner taps read the zero pad,
+    # they are already counted by the row corrections).
+    lcol = jnp.pad(cast(pieces["left"]), ((0, 0), (p, p), (0, 0), (0, 0)))
+    lc = tap_dot(jnp.stack([vshift(lcol, i) for i in range(3)], axis=3),
+                 wt[:, 0])
+    out = out.at[:, :, :lc.shape[2]].add(lc)
     if s == 1:
         bot = jnp.concatenate(
             [cast(pieces["bottom_left"]), cast(pieces["bottom"]),
              cast(pieces["bottom_right"])], axis=2)
-        bc = raw(bot, w[2:3], (s, s), (1, d), "VALID")
-        corr = corr + jnp.pad(
-            bc, ((0, 0), (out_bs - bc.shape[1], 0), (0, 0), (0, 0)))
-    # Column corrections: zero-pad vertically by p so corner taps (already
-    # counted by the row corrections) read zeros.
-    lc = raw(cast(pieces["left"]), w[:, 0:1], (s, s), (d, 1),
-             [(p, p), (0, 0)])                        # (K, out_bs, pl, Co)
-    corr = corr + jnp.pad(
-        lc, ((0, 0), (0, 0), (0, out_bs - lc.shape[2]), (0, 0)))
-    if s == 1:
-        rc = raw(cast(pieces["right"]), w[:, 2:3], (s, s), (d, 1),
-                 [(p, p), (0, 0)])
-        corr = corr + jnp.pad(
-            rc, ((0, 0), (0, 0), (out_bs - rc.shape[2], 0), (0, 0)))
+        bc = tap_dot(jnp.stack([hshift(bot, j) for j in range(3)], axis=3),
+                     wt[2])
+        out = out.at[:, out_bs - bc.shape[1]:].add(bc)
+        rcol = jnp.pad(cast(pieces["right"]),
+                       ((0, 0), (p, p), (0, 0), (0, 0)))
+        rc = tap_dot(jnp.stack([vshift(rcol, i) for i in range(3)], axis=3),
+                     wt[:, 2])
+        out = out.at[:, :, out_bs - rc.shape[2]:].add(rc)
 
-    out = out + corr
     if b is not None:
         out = out + b.astype(out.dtype)
     return out.astype(dt)
@@ -402,32 +420,27 @@ def _border_max_pool(
     out = wmax(padded, (3, 3), (s, s))
     out_bs = out.shape[1]
 
+    # Corrections land on the output via .at[].max border slices — only the
+    # border bytes are re-touched (full-size padded maxima are the same
+    # materialization tax the decomposition is here to avoid).
     cast = lambda piece: piece.astype(dt)
     top = jnp.concatenate(
         [cast(pieces["top_left"]), cast(pieces["top"]),
          cast(pieces["top_right"])], axis=2)          # (K, 1, bs+2, C)
     tc = wmax(top, (1, 3), (1, s))                    # (K, 1, out_bs, C)
-    out = jnp.maximum(out, jnp.pad(
-        tc, ((0, 0), (0, out_bs - 1), (0, 0), (0, 0)),
-        constant_values=neg))
+    out = out.at[:, :1].max(tc)
     lc = wmax(cast(pieces["left"]), (3, 1), (s, 1),
               ((0, 0), (1, 1), (0, 0), (0, 0)))       # (K, out_bs, 1, C)
-    out = jnp.maximum(out, jnp.pad(
-        lc, ((0, 0), (0, 0), (0, out_bs - 1), (0, 0)),
-        constant_values=neg))
+    out = out.at[:, :, :1].max(lc)
     if s == 1:
         bot = jnp.concatenate(
             [cast(pieces["bottom_left"]), cast(pieces["bottom"]),
              cast(pieces["bottom_right"])], axis=2)
         bc = wmax(bot, (1, 3), (1, s))
-        out = jnp.maximum(out, jnp.pad(
-            bc, ((0, 0), (out_bs - 1, 0), (0, 0), (0, 0)),
-            constant_values=neg))
+        out = out.at[:, out_bs - 1:].max(bc)
         rc = wmax(cast(pieces["right"]), (3, 1), (s, 1),
                   ((0, 0), (1, 1), (0, 0), (0, 0)))
-        out = jnp.maximum(out, jnp.pad(
-            rc, ((0, 0), (0, 0), (out_bs - 1, 0), (0, 0)),
-            constant_values=neg))
+        out = out.at[:, :, out_bs - 1:].max(rc)
     return out
 
 

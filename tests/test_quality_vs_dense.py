@@ -57,5 +57,7 @@ def test_blockcopy_tracks_dense_under_motion():
     bc = float(np.mean(agree_bc[2:]))
     frozen = float(np.mean(agree_frozen[2:]))
     # partial execution must track dense far better than freezing frame 1
-    assert bc > frozen + 0.05, (bc, frozen)
+    # (measured margin 0.11 at this scene amplitude — gate at 0.08 so the
+    # proxy stays discriminative, not vacuously satisfiable)
+    assert bc > frozen + 0.08, (bc, frozen)
     assert bc > 0.75, bc
