@@ -64,16 +64,18 @@ def _kernel(h1_ref, x_ref, top_ref, bot_ref, left_ref, right_ref,
         [top_ref[...][:, None], mid, bot_ref[...][:, None]],
         axis=1)                                        # (chunk, bs+2, bs+2, C)
 
-    # im2col along width ONCE (3 sublane-shift relayouts), then one wide
-    # matmul per dy (untiled-dim slice, free) — 9 per-tap extractions were
-    # measured relayout-bound at the full-program level
-    shifted = jnp.concatenate(
-        [full[:, :, dx:dx + bs, :] for dx in range(3)],
-        axis=-1)                                       # (chunk, bs+2, bs, 3C)
+    # im2col along HEIGHT once (dim 1 is untiled, so the three dy-shifted
+    # operands share a layout — Mosaic rejects channel concats of
+    # sublane-shifted values with "offset mismatch on non-concat
+    # dimension"), then one wide matmul per dx.  9 per-tap extractions were
+    # measured relayout-bound at the full-program level.
+    vert = jnp.concatenate(
+        [full[:, dy:dy + bs] for dy in range(3)],
+        axis=-1)                                       # (chunk, bs, bs+2, 3C)
     acc = jnp.zeros((rows_flat, c_mid), jnp.float32)
-    for dy in range(3):
-        xs = shifted[:, dy:dy + bs]                    # (chunk, bs, bs, 3C)
-        acc += jnp.dot(xs.reshape(rows_flat, 3 * c_mid), w2_ref[dy],
+    for dx in range(3):
+        xs = vert[:, :, dx:dx + bs, :]                 # (chunk, bs, bs, 3C)
+        acc += jnp.dot(xs.reshape(rows_flat, 3 * c_mid), w2_ref[dx],
                        preferred_element_type=jnp.float32)
     # XLA-path numerics: cast the fp32 conv accumulator to the activation
     # dtype BEFORE the BN affine + ReLU (ops/layers.py conv2d/batch_norm)
@@ -156,6 +158,7 @@ def bottleneck_tail(h1, x, pieces, w2, s2, b2, w3, s3, b3):
         out_shape=jax.ShapeDtypeStruct((k, bs, bs, c_out), dt),
         interpret=not _is_tpu(),
     )(h1, x.astype(dt), top, bot, left, right,
-      w2.astype(dt).reshape(3, 3 * c_mid, c_mid), w3.astype(dt),
+      w2.astype(dt).transpose(1, 0, 2, 3).reshape(3, 3 * c_mid, c_mid),
+      w3.astype(dt),
       s2.reshape(1, -1), b2.reshape(1, -1),
       s3.reshape(1, -1), b3.reshape(1, -1))
