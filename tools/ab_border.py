@@ -1,0 +1,105 @@
+"""In-process A/B of the blocked-conv halo lowerings on the headline bench.
+
+Cross-process A/B through the axon relay is unreliable at the few-percent
+level (docs/NEXT_ROUND.md: one session measured 18% below its sibling), so
+this tool compiles BOTH variants in ONE process and interleaves fenced
+timing windows (A, B, A, B, ...), reporting per-variant medians.  The
+``BORDER_CONV`` module global is flipped before each trace; the compiled
+programs pin the setting, so interleaved windows re-use them.
+
+Usage: python tools/ab_border.py [--frames 60] [--windows 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--backbone", type=str, default="resnet50")
+    ap.add_argument("--target", type=float, default=0.5)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--policy-arch", type=str, default="fast")
+    args = ap.parse_args()
+
+    from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+    from blockcopy_tpu.models.swiftnet import (
+        SwiftNetConfig, init_swiftnet, make_apply_fn)
+    from blockcopy_tpu.ops import layers
+
+    dtype = jnp.bfloat16
+    frame_shape = (1, args.height, args.width, 3)
+    gh, gw = args.height // 128, args.width // 128
+    capacity = max(1, int(round(args.target * gh * gw)))
+
+    cfg = SwiftNetConfig(backbone=args.backbone, num_classes=19)
+    params = init_swiftnet(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    scfg = StepperConfig(block_size=128, block_target=args.target,
+                        train_interval=4, policy_arch=args.policy_arch)
+
+    rs = np.random.RandomState(0)
+    base = rs.randn(*frame_shape).astype(np.float32)
+
+    def frame(t):
+        f = base.copy()
+        s = (t * 37) % (args.height - 200)
+        f[:, s:s + 160, s:s + 160] += 2.0
+        return jnp.asarray(f, dtype)
+
+    staged = [jax.device_put(frame(10 + i)) for i in range(8)]
+
+    def fence(s):
+        return float(jnp.sum(s["outputs"].astype(jnp.float32)))
+
+    variants = {}
+    for name, flag in (("exchange", False), ("border", True)):
+        layers.BORDER_CONV = flag
+        stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
+                                       capacity=capacity, dtype=dtype)
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        first = jax.jit(stepper.first_step, donate_argnums=(1,))
+        step = jax.jit(stepper.step, donate_argnums=(1,))
+        state = first(params, state, frame(0))  # traces with current flag
+        for t in range(1, args.warmup + 1):
+            state = step(params, state, frame(t))
+        fence(state)
+        variants[name] = {"step": step, "state": state, "fps": []}
+        print(f"compiled {name}", flush=True)
+
+    # interleaved fenced windows
+    for w in range(args.windows):
+        for name, v in variants.items():
+            t0 = time.perf_counter()
+            s = v["state"]
+            for t in range(args.frames):
+                s = v["step"](params, s, staged[t % len(staged)])
+            checksum = fence(s)
+            dt = time.perf_counter() - t0
+            assert np.isfinite(checksum)
+            v["state"] = s
+            v["fps"].append(args.frames / dt)
+            print(json.dumps({"window": w, "variant": name,
+                              "fps": round(args.frames / dt, 2)}), flush=True)
+
+    summary = {name: round(float(np.median(v["fps"])), 2)
+               for name, v in variants.items()}
+    summary["border_over_exchange"] = round(
+        summary["border"] / summary["exchange"], 4)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

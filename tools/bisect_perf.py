@@ -189,6 +189,42 @@ def main():
         model_variant("backbone", with_fs=False, with_dense_out=True,
                       body=bb_body)
 
+    # ---- per-stage backbone prefixes (stem, stem+layer1, ...) ------------
+    # Mirrors resnet_forward_down with an early stop so the per-stage cost
+    # of the blocked backbone is visible (stage deltas, not micro-benches).
+    def make_prefix_body(n_stages):
+        from blockcopy_tpu.models.swiftnet import (
+            _basic_block, _bottleneck_block)
+        from blockcopy_tpu.ops import layers as L
+
+        bp = params["backbone"]
+
+        def body(pack, ctx):
+            x = L.conv2d(ctx, "backbone.conv1", pack, bp["conv1"]["w"],
+                         stride=2, padding=3)
+            x = L.batch_norm(x, bp["bn1"]["scale"], bp["bn1"]["bias"])
+            x = L.relu(x)
+            x = L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2,
+                             padding=1)
+            for stage in range(n_stages):
+                stride = 1 if stage == 0 else 2
+                for b, p in enumerate(bp[f"layer{stage + 1}"]):
+                    s = stride if b == 0 else 1
+                    name = f"backbone.layer{stage + 1}.{b}"
+                    if cfg.resnet.bottleneck:
+                        x = _bottleneck_block(ctx, name, x, p, s,
+                                              groups=cfg.resnet.groups)
+                    else:
+                        x = _basic_block(ctx, name, x, p, s)
+            return x
+
+        return body
+
+    for nm, ns in (("stem", 0), ("upto1", 1), ("upto2", 2), ("upto3", 3)):
+        if nm in want:
+            model_variant(nm, with_fs=False, with_dense_out=True,
+                          body=make_prefix_body(ns))
+
     # ---- policy only -------------------------------------------------------
     if "policy" in want:
         pstate = stepper.init_policy_state(jax.random.PRNGKey(2))
