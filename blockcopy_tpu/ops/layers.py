@@ -63,7 +63,14 @@ TALL_CONV_MAX_BS = int(_os.environ.get("BLOCKCOPY_TPU_TALL_CONV_BS", "0"))
 # (``blockcopy/blockcopy/utils/blockpad.py:77-156``) without a custom kernel.
 # Applies to k=3 convs with p == dilation and stride 1 or 2 over strip
 # storage; other shapes (7x7 stem, pooling) keep the exchange path.
-BORDER_CONV = _os.environ.get("BLOCKCOPY_TPU_BORDER_CONV", "1") == "1"
+#
+# Default OFF: the in-process interleaved A/B on the headline bench
+# (tools/ab_border.py, 10x150-frame fenced windows, r3) measured the
+# exchange path FASTER — median 252.6 vs 247.0 FPS (max 255.0 vs 248.6),
+# a consistent ~2.2% across 9/10 windows.  The byte saving is real but the
+# border `.at[].add` slices and the extra einsum dispatches cost more than
+# the (K, bs+2, bs+2, C) materialization XLA already pipelines well.
+BORDER_CONV = _os.environ.get("BLOCKCOPY_TPU_BORDER_CONV", "0") == "1"
 
 
 def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:

@@ -94,10 +94,15 @@ def main():
             print(json.dumps({"window": w, "variant": name,
                               "fps": round(args.frames / dt, 2)}), flush=True)
 
-    summary = {name: round(float(np.median(v["fps"])), 2)
-               for name, v in variants.items()}
-    summary["border_over_exchange"] = round(
-        summary["border"] / summary["exchange"], 4)
+    # Interference on the relay is one-sided (windows only ever spike LOW),
+    # so the per-variant MAX is the least-biased point estimate; the median
+    # is reported alongside as the conservative cross-check.
+    summary = {}
+    for name, v in variants.items():
+        summary[name] = {"max": round(float(np.max(v["fps"])), 2),
+                         "median": round(float(np.median(v["fps"])), 2)}
+    summary["border_over_exchange_max"] = round(
+        summary["border"]["max"] / summary["exchange"]["max"], 4)
     print(json.dumps(summary))
 
 
