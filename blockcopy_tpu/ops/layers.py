@@ -72,6 +72,19 @@ TALL_CONV_MAX_BS = int(_os.environ.get("BLOCKCOPY_TPU_TALL_CONV_BS", "0"))
 # the (K, bs+2, bs+2, C) materialization XLA already pipelines well.
 BORDER_CONV = _os.environ.get("BLOCKCOPY_TPU_BORDER_CONV", "0") == "1"
 
+# Space-to-depth lowering for the 7x7 stride-2 pad-3 RGB stem conv (see
+# ``_s2d_stem_conv``).  Default OFF — measured NEGATIVE: the in-process
+# interleaved A/B (tools/ab_flag.py --flag S2D_STEM, 10x150-frame windows)
+# read on=217.5 vs off=254.6 FPS max (15% LOSS, on<off in 9/10 paired
+# windows) even though the per-stage bisect shows the stem at ~1.2 ms of a
+# ~4.1 ms frame.  Interpretation: XLA does NOT pay the feared C=3
+# lane-padding tax on the stem conv (it can keep width in lanes for
+# small-C tensors), while the s2d input shuffle and depth-to-space output
+# shuffle this lowering adds are real relayouts.  Kept as an option with
+# exactness tests (tests/test_s2d_stem.py); the stem's actual cost center
+# needs profiling, not layout guesses.
+S2D_STEM = _os.environ.get("BLOCKCOPY_TPU_S2D_STEM", "0") == "1"
+
 
 def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:
     return jnp.pad(data, ((0, 0), (p, p), (p, p), (0, 0)))
@@ -205,6 +218,74 @@ def _border_conv(
     return out.astype(dt)
 
 
+def _s2d_tap_map(dtype) -> jax.Array:
+    """Constant 0/1 tensor mapping dense 7-tap/stride-2 positions onto
+    space-to-depth-4 cells: ``m[d, s, a, i] = 1`` iff dense tap ``i`` for
+    output sub-position ``a`` reads s2d cell offset ``d-1``, sub-pixel ``s``
+    (solving ``2a + i - 3 == 4*(d-1) + s``)."""
+    m = np.zeros((3, 4, 2, 7), np.float32)
+    for a in range(2):
+        for i in range(7):
+            d, s = divmod(2 * a + i - 3 + 4, 4)
+            m[d, s, a, i] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+def _s2d_stem_conv(
+    ctx: ExecCtx, name: str, x: BlockPack, w: jax.Array,
+    b: Optional[jax.Array],
+) -> jax.Array:
+    """7x7 stride-2 pad-3 stem conv on few-channel input via s2d-4.
+
+    The dense stem identity, with output pixels written ``(2Y+a, 2X+b)``
+    and input pixels read in s2d-4 cell coordinates ``4Y' + sub``:
+
+        out(2Y+a, 2X+b, o) = sum_{i,j,c} W[i,j,c,o] * in(4Y + 2a+i-3, ...)
+
+    maps every dense tap ``(a, i)`` to a unique (cell offset in {-1,0,1},
+    sub-row in [0,4)) pair — a **3x3 stride-1 conv** over ``(bs/4, bs/4,
+    16C)`` cells producing all four output sub-positions as ``4*Cout``
+    channels, followed by depth-to-space-2.  Channel counts become
+    MXU-friendly (48 -> 256 for RGB/ResNet) and the halo exchange moves to
+    the s2d cells at pad 1: the 4th halo pixel of each edge cell carries
+    zero weight, preserving the dense conv's 3-px footprint, and canvas
+    sentinel zeros keep the dense zero-padding semantics at image borders.
+    The repacked kernel has 2.94x zero taps (12x12 s2d footprint vs 49
+    dense taps) — extra MXU zeros, traded for eliminating every C=3
+    relayout.  Replaces nothing in the reference (its CUDA kernels pay no
+    lane tax); this is a TPU-layout decision.
+    """
+    data = x.data
+    k_blk, bs, _, c_in = data.shape
+    c_out = w.shape[3]
+    cells = bs // 4
+    s2d = data.reshape(k_blk, cells, 4, cells, 4, c_in) \
+              .transpose(0, 1, 3, 2, 4, 5) \
+              .reshape(k_blk, cells, cells, 16 * c_in)
+    padded = ctx.exchange(f"{name}.s2d", x.with_data(s2d), 1)
+
+    # kernel repack: two tiny einsums on the (7,7,C,Cout) weight per step;
+    # row/col tap maps are compile-time constants
+    m = _s2d_tap_map(w.dtype)
+    # wp[dY, sr, dX, sc, c, a, b, o]
+    wp = jnp.einsum("dsai,ftbj,ijco->dsftcabo", m, m, w)
+    wp = wp.transpose(0, 2, 1, 3, 4, 5, 6, 7) \
+           .reshape(3, 3, 16 * c_in, 4 * c_out)
+
+    out = lax.conv_general_dilated(
+        padded, wp.astype(padded.dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=DIMNUMS,
+        preferred_element_type=jnp.float32,
+    ).astype(data.dtype)
+    # depth-to-space-2 of the (a, b) output sub-position axes
+    out = out.reshape(k_blk, cells, cells, 2, 2, c_out) \
+             .transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(k_blk, 2 * cells, 2 * cells, c_out)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def conv2d(
     ctx: ExecCtx,
     name: str,
@@ -248,6 +329,14 @@ def conv2d(
     cin = w.shape[2]
     if isinstance(x, BlockPack) and not ctx.is_dense:
         if p > 0:
+            if (S2D_STEM and not BLOCKPAD_WITH_ZEROES and kh == 7
+                    and kw == 7 and s == 2 and p == 3 and d == 1
+                    and groups == 1 and cin <= 4
+                    and x.data.shape[1] % 4 == 0 and x.data.shape[1] >= 8):
+                out = x.with_data(_s2d_stem_conv(ctx, name, x, w, b))
+                ctx.add_macs(
+                    float(np.prod(out.data.shape)) * cin * kh * kw, name)
+                return out
             if (BORDER_CONV and not BLOCKPAD_WITH_ZEROES and kh == 3
                     and kw == 3 and p == d and s in (1, 2)
                     and (s == 1 or x.data.shape[1] % 2 == 0)):

@@ -1,0 +1,104 @@
+"""Space-to-depth stem lowering == halo-exchange 7x7 conv.
+
+The S2D_STEM path (ops/layers.py:_s2d_stem_conv) reshapes few-channel
+blocks to s2d-4 cells and runs the 7x7 stride-2 stem as a 3x3 stride-1
+conv with zero-weighted extra taps.  It must reproduce the exchange path's
+outputs (up to fp32 summation-order rounding) across multi-frame temporal
+reuse — skipped blocks' halos come from the s2d strip canvas instead of
+raw-pixel strips, carrying the same information.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import blockcopy_tpu.ops.layers as L
+from blockcopy_tpu.core import grid as gridlib
+from blockcopy_tpu.core.blocked import ExecCtx, block_layout_to_dense, split_dense
+
+
+def run_stem(s2d, frames, grids, w, bias, n=1, gh=3, gw=4):
+    old = L.S2D_STEM
+    L.S2D_STEM = s2d
+    try:
+        outs = []
+        canvases = {}
+        building = True
+        for frame, grid in zip(frames, grids):
+            idx = gridlib.exec_indices(grid, int(grid.sum()))
+            ctx = ExecCtx.blocked(idx, n, gh, gw, canvases, building=building)
+            building = False
+            pack = split_dense(frame, idx, n, gh, gw)
+            out = L.conv2d(ctx, "stem", pack, w, bias, stride=2, padding=3)
+            outs.append(np.asarray(out.data, np.float32))
+            canvases = ctx.canvases
+        return outs
+    finally:
+        L.S2D_STEM = old
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_s2d_stem_matches_exchange(dtype):
+    n, gh, gw, bs, c, co = 1, 3, 4, 16, 3, 24
+    rs = np.random.RandomState(0)
+    frames = [jnp.asarray(rs.randn(n, gh * bs, gw * bs, c).astype(dtype))
+              for _ in range(4)]
+    grids = [
+        jnp.ones((n, gh, gw), bool),  # frame 0: all-exec fills every strip
+        jnp.zeros((n, gh, gw), bool).at[0, ::2, 1::2].set(True),
+        jnp.zeros((n, gh, gw), bool).at[0, 1, :].set(True),
+        jnp.zeros((n, gh, gw), bool).at[0, :, 2].set(True),
+    ]
+    w = jnp.asarray(rs.randn(7, 7, c, co).astype(np.float32))
+    bias = jnp.asarray(rs.randn(co).astype(np.float32))
+
+    ref = run_stem(False, frames, grids, w, bias)
+    got = run_stem(True, frames, grids, w, bias)
+    tol = 3e-2 if dtype == jnp.bfloat16 else 1e-5
+    for t, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(a, b, rtol=tol, atol=tol,
+                                   err_msg=f"frame {t}")
+
+
+def test_s2d_stem_vs_dense_all_exec():
+    """All blocks executed: blocked s2d stem == dense 7x7 s2 p3 conv."""
+    n, gh, gw, bs, c, co = 1, 3, 4, 16, 3, 8
+    rs = np.random.RandomState(1)
+    img = jnp.asarray(rs.randn(n, gh * bs, gw * bs, c).astype(np.float32))
+    w = jnp.asarray(rs.randn(7, 7, c, co).astype(np.float32))
+
+    dense = np.asarray(L.conv2d(ExecCtx.dense(), "stem", img, w, None,
+                                stride=2, padding=3))
+
+    old = L.S2D_STEM
+    L.S2D_STEM = True
+    try:
+        idx = gridlib.exec_indices(jnp.ones((n, gh, gw), bool), gh * gw)
+        ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+        pack = split_dense(img, idx, n, gh, gw)
+        out = L.conv2d(ctx, "stem", pack, w, None, stride=2, padding=3)
+    finally:
+        L.S2D_STEM = old
+    got = np.asarray(block_layout_to_dense(out.data, n, gh, gw))
+    np.testing.assert_allclose(dense, got, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_stem_fallback_many_channels():
+    """cin > 4 (not a stem): must take the exchange path (same shape)."""
+    n, gh, gw, bs, c, co = 1, 2, 2, 16, 8, 4
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.randn(n, gh * bs, gw * bs, c).astype(np.float32))
+    w = jnp.asarray(rs.randn(7, 7, c, co).astype(np.float32))
+    old = L.S2D_STEM
+    L.S2D_STEM = True
+    try:
+        idx = gridlib.exec_indices(jnp.ones((n, gh, gw), bool), gh * gw)
+        ctx = ExecCtx.blocked(idx, n, gh, gw, {}, building=True)
+        pack = split_dense(img, idx, n, gh, gw)
+        out = L.conv2d(ctx, "stem", pack, w, None, stride=2, padding=3)
+        # exchange path creates the raw-strip canvas, not the .s2d one
+        assert "stem" in ctx.canvases and "stem.s2d" not in ctx.canvases
+    finally:
+        L.S2D_STEM = old
+    assert out.data.shape == (gh * gw, bs // 2, bs // 2, co)

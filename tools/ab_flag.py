@@ -1,13 +1,13 @@
-"""In-process A/B of the blocked-conv halo lowerings on the headline bench.
+"""In-process A/B of an ops/layers.py lowering flag on the headline bench.
 
 Cross-process A/B through the axon relay is unreliable at the few-percent
 level (docs/NEXT_ROUND.md: one session measured 18% below its sibling), so
 this tool compiles BOTH variants in ONE process and interleaves fenced
-timing windows (A, B, A, B, ...), reporting per-variant medians.  The
-``BORDER_CONV`` module global is flipped before each trace; the compiled
-programs pin the setting, so interleaved windows re-use them.
+timing windows (A, B, A, B, ...).  Relay interference is one-sided (windows
+only ever spike LOW), so the per-variant MAX over windows is the
+least-biased point estimate; the median is the conservative cross-check.
 
-Usage: python tools/ab_border.py [--frames 60] [--windows 3]
+Usage: python tools/ab_flag.py --flag S2D_STEM [--frames 150 --windows 10]
 """
 
 import argparse
@@ -25,13 +25,15 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--flag", type=str, default="BORDER_CONV",
+                    help="module-level bool on blockcopy_tpu.ops.layers")
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--target", type=float, default=0.5)
-    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=150)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--windows", type=int, default=10)
     ap.add_argument("--policy-arch", type=str, default="fast")
     args = ap.parse_args()
 
@@ -39,6 +41,8 @@ def main():
     from blockcopy_tpu.models.swiftnet import (
         SwiftNetConfig, init_swiftnet, make_apply_fn)
     from blockcopy_tpu.ops import layers
+
+    assert hasattr(layers, args.flag), args.flag
 
     dtype = jnp.bfloat16
     frame_shape = (1, args.height, args.width, 3)
@@ -65,8 +69,8 @@ def main():
         return float(jnp.sum(s["outputs"].astype(jnp.float32)))
 
     variants = {}
-    for name, flag in (("exchange", False), ("border", True)):
-        layers.BORDER_CONV = flag
+    for name, flag in (("off", False), ("on", True)):
+        setattr(layers, args.flag, flag)
         stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
                                        capacity=capacity, dtype=dtype)
         state = stepper.init_state(params, jax.random.PRNGKey(1))
@@ -77,7 +81,7 @@ def main():
             state = step(params, state, frame(t))
         fence(state)
         variants[name] = {"step": step, "state": state, "fps": []}
-        print(f"compiled {name}", flush=True)
+        print(f"compiled {args.flag}={name}", flush=True)
 
     # interleaved fenced windows
     for w in range(args.windows):
@@ -94,15 +98,12 @@ def main():
             print(json.dumps({"window": w, "variant": name,
                               "fps": round(args.frames / dt, 2)}), flush=True)
 
-    # Interference on the relay is one-sided (windows only ever spike LOW),
-    # so the per-variant MAX is the least-biased point estimate; the median
-    # is reported alongside as the conservative cross-check.
-    summary = {}
+    summary = {"flag": args.flag}
     for name, v in variants.items():
         summary[name] = {"max": round(float(np.max(v["fps"])), 2),
                          "median": round(float(np.median(v["fps"])), 2)}
-    summary["border_over_exchange_max"] = round(
-        summary["border"]["max"] / summary["exchange"]["max"], 4)
+    summary["on_over_off_max"] = round(
+        summary["on"]["max"] / summary["off"]["max"], 4)
     print(json.dumps(summary))
 
 

@@ -47,16 +47,21 @@ def build_state(apply_body, frame_shape, capacity, total, geom, dtype):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def bench(step, state, frames, staged, fence, warmup=6):
+def bench(step, state, frames, staged, fence, warmup=6, windows=3):
+    """Max FPS over several fenced windows: relay interference is one-sided
+    (windows only ever spike LOW), so max is the least-biased estimate."""
     for t in range(warmup):
         state = step(state, staged[t % len(staged)])
     fence(state)
-    t0 = time.perf_counter()
-    for t in range(frames):
-        state = step(state, staged[t % len(staged)])
-    fence(state)
-    dt = time.perf_counter() - t0
-    return frames / dt
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for t in range(frames):
+            state = step(state, staged[t % len(staged)])
+        fence(state)
+        dt = time.perf_counter() - t0
+        best = max(best, frames / dt)
+    return best
 
 
 def main():
@@ -68,6 +73,8 @@ def main():
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--variants", type=str,
                     default="full,model,model_nofs,model_noout,backbone,policy")
+    ap.add_argument("--policy-arch", type=str, default="fast",
+                    help="policy arch for the 'full' variant (match bench.py)")
     args = ap.parse_args()
 
     from functools import partial
@@ -93,7 +100,7 @@ def main():
     params = init_swiftnet(jax.random.PRNGKey(0), cfg, dtype=dtype)
     apply_fn = make_apply_fn(cfg)
     scfg = StepperConfig(block_size=128, block_target=args.target,
-                         train_interval=4)
+                         train_interval=4, policy_arch=args.policy_arch)
     stepper = FixedCapacityStepper(apply_fn, scfg, frame_shape,
                                    capacity=capacity, dtype=dtype)
 
@@ -224,6 +231,24 @@ def main():
         if nm in want:
             model_variant(nm, with_fs=False, with_dense_out=True,
                           body=make_prefix_body(ns))
+
+    # finer stem decomposition: split-only (gather + OUT store machinery)
+    # and stem conv without the maxpool
+    if "split" in want:
+        model_variant("split", with_fs=False, with_dense_out=True,
+                      body=lambda pack, ctx: pack)
+    if "stem_conv" in want:
+        from blockcopy_tpu.ops import layers as L
+
+        def sc_body(pack, ctx):
+            bp = params["backbone"]
+            x = L.conv2d(ctx, "backbone.conv1", pack, bp["conv1"]["w"],
+                         stride=2, padding=3)
+            x = L.batch_norm(x, bp["bn1"]["scale"], bp["bn1"]["bias"])
+            return L.relu(x)
+
+        model_variant("stem_conv", with_fs=False, with_dense_out=True,
+                      body=sc_body)
 
     # ---- policy only -------------------------------------------------------
     if "policy" in want:
