@@ -80,6 +80,17 @@ def _basic_block_init(key, cin, cout, stride):
 
 S2D = 4  # space-to-depth factor of the "fast" arch stem
 
+# Lower the fast-arch stem as one k=4 stride-4 conv instead of an explicit
+# space-to-depth transpose + 1x1 conv.  Mathematically identical (the s2d
+# channel order (sub_row, sub_col, c) unflattens to the conv's (kh, kw, c)
+# window exactly), but the device profile (tools/profile_top.py) shows the
+# materialized s2d transposes of the 26-channel assembled input cost
+# ~0.2 ms/frame of pure data formatting that a strided conv's internal
+# im2col avoids.  Params stay (1, 1, 16C, width) for checkpoint/optimizer
+# compatibility; the reshape happens at trace time.
+POLICY_STEM_CONV4 = os.environ.get(
+    "BLOCKCOPY_TPU_POLICY_STEM_CONV4", "1") == "1"
+
 
 def _space_to_depth(x, r: int):
     n, h, w, c = x.shape
@@ -205,10 +216,27 @@ def _basic_block(x, p, s, stride, update_stats):
     return jnp.maximum(out, 0), s
 
 
+def _conv_stem4(x, p):
+    """k=4 stride-4 VALID conv == space-to-depth-4 + 1x1 conv with the same
+    weights: ``w[(sr, sc, c), o] -> w4[sr, sc, c, o]`` (see
+    POLICY_STEM_CONV4)."""
+    c_in = x.shape[-1]
+    w4 = p["w"].reshape(S2D, S2D, c_in, p["w"].shape[-1])
+    out = jax.lax.conv_general_dilated(
+        x.astype(COMPUTE_DTYPE), w4.astype(COMPUTE_DTYPE),
+        window_strides=(S2D, S2D), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.astype(jnp.float32)
+
+
 def _policy_net_fast_apply(params, bn_state, x, update_stats: bool):
     s = jax.tree.map(lambda a: a, bn_state)  # shallow copy
-    x = _space_to_depth(x, S2D)
-    x = _conv(x, params["stem"], 1)
+    if POLICY_STEM_CONV4:
+        x = _conv_stem4(x, params["stem"])
+    else:
+        x = _space_to_depth(x, S2D)
+        x = _conv(x, params["stem"], 1)
     x, s["stem_bn"] = _bn_train(x, params["stem_bn"], s["stem_bn"],
                                 update_stats)
     x = jnp.maximum(x, 0)

@@ -102,3 +102,17 @@ def test_s2d_stem_fallback_many_channels():
     finally:
         L.S2D_STEM = old
     assert out.data.shape == (gh * gw, bs // 2, bs // 2, co)
+
+
+def test_policy_fast_stem_conv4_matches_s2d():
+    """POLICY_STEM_CONV4: k=4 s=4 conv == space-to-depth-4 + 1x1 conv
+    (same weights, reshaped) to bf16 rounding."""
+    import blockcopy_tpu.policy.net as N
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 64, 128, 26).astype(np.float32))
+    p, _ = N.init_policy_net(jax.random.PRNGKey(3), 26, arch="fast")
+    a = np.asarray(N._conv(N._space_to_depth(x, N.S2D), p["stem"], 1))
+    b = np.asarray(N._conv_stem4(x, p["stem"]))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=3e-3 * scale)

@@ -26,7 +26,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--flag", type=str, default="BORDER_CONV",
-                    help="module-level bool on blockcopy_tpu.ops.layers")
+                    help="module-level bool on blockcopy_tpu.ops.layers, or "
+                    "'module.path:FLAG' for any module")
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--backbone", type=str, default="resnet50")
@@ -40,9 +41,16 @@ def main():
     from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
     from blockcopy_tpu.models.swiftnet import (
         SwiftNetConfig, init_swiftnet, make_apply_fn)
-    from blockcopy_tpu.ops import layers
+    if ":" in args.flag:
+        import importlib
 
-    assert hasattr(layers, args.flag), args.flag
+        modpath, flagname = args.flag.split(":")
+        flagmod = importlib.import_module(modpath)
+    else:
+        from blockcopy_tpu.ops import layers as flagmod
+
+        flagname = args.flag
+    assert hasattr(flagmod, flagname), args.flag
 
     dtype = jnp.bfloat16
     frame_shape = (1, args.height, args.width, 3)
@@ -70,7 +78,7 @@ def main():
 
     variants = {}
     for name, flag in (("off", False), ("on", True)):
-        setattr(layers, args.flag, flag)
+        setattr(flagmod, flagname, flag)
         stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
                                        capacity=capacity, dtype=dtype)
         state = stepper.init_state(params, jax.random.PRNGKey(1))

@@ -28,7 +28,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", type=str, default="/tmp/jaxtrace")
     ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--set-flag", type=str, default=None,
+                    help="'module.path:FLAG=1' to flip a lowering flag "
+                    "before tracing")
     args = ap.parse_args()
+
+    if args.set_flag:
+        import importlib
+
+        spec, val = args.set_flag.split("=")
+        modpath, flagname = spec.split(":")
+        setattr(importlib.import_module(modpath), flagname, val == "1")
 
     from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
     from blockcopy_tpu.models.swiftnet import (
