@@ -190,11 +190,9 @@ def _bottleneck_block(ctx, name, x, p, stride, dilation):
 def csp_backbone(params, x, ctx: ExecCtx, cfg: CSPConfig):
     """mmdet ResNet ``forward`` with configurable strides/dilations
     (reference ``mmdet/models/backbones/resnet.py``)."""
-    x = L.conv2d(ctx, "backbone.conv1", x, params["conv1"]["w"], stride=2,
-                 padding=3)
-    x = L.batch_norm(x, params["bn1"]["scale"], params["bn1"]["bias"])
-    x = L.relu(x)
-    x = L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2, padding=1)
+    from blockcopy_tpu.models.swiftnet import _stem
+
+    x = _stem(ctx, x, params)
     outs = []
     for stage in range(4):
         for b, p in enumerate(params[f"layer{stage + 1}"]):

@@ -21,6 +21,7 @@ from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from blockcopy_tpu.core import blocked as _blocked
 from blockcopy_tpu.core.blocked import BlockPack, ExecCtx
@@ -317,14 +318,33 @@ def _bottleneck_block(ctx, name, x, p, stride, groups=1):
     return L.relu(out)
 
 
+def _stem(ctx: ExecCtx, x, params):
+    """ResNet stem: 7x7 s2 conv + BN + ReLU + 3x3 s2 maxpool.  On blocked
+    input with STEM_PLANE_POOL, the whole sequence runs fused in s2d plane
+    form (``ops/layers.py:stem_pool_s2d``); shared by SwiftNet and CSP."""
+    w = params["conv1"]["w"]
+    if (L.STEM_PLANE_POOL and isinstance(x, BlockPack) and not ctx.is_dense
+            and not L.BLOCKPAD_WITH_ZEROES and w.shape[0] == 7
+            and w.shape[2] <= 4 and x.data.shape[1] % 4 == 0
+            and x.data.shape[1] >= 8):
+        out = L.stem_pool_s2d(ctx, "backbone.conv1", "backbone.maxpool", x,
+                              w, params["bn1"]["scale"],
+                              params["bn1"]["bias"])
+        if out is not None:
+            ctx.add_macs(float(np.prod(out.data.shape) * 4) *
+                         w.shape[2] * 49, "backbone.conv1")
+            return out
+    x = L.conv2d(ctx, "backbone.conv1", x, w, stride=2, padding=3)
+    x = L.batch_norm(x, params["bn1"]["scale"], params["bn1"]["bias"])
+    x = L.relu(x)
+    return L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2,
+                        padding=1)
+
+
 def resnet_forward_down(params, x, ctx: ExecCtx, cfg: ResNetConfig):
     """Backbone ``forward_down`` (reference ``backbones/resnet.py:288-304``):
     returns the four stage features."""
-    x = L.conv2d(ctx, "backbone.conv1", x, params["conv1"]["w"], stride=2,
-                 padding=3)
-    x = L.batch_norm(x, params["bn1"]["scale"], params["bn1"]["bias"])
-    x = L.relu(x)
-    x = L.max_pool2d(ctx, "backbone.maxpool", x, kernel=3, stride=2, padding=1)
+    x = _stem(ctx, x, params)
     feats = []
     for stage in range(4):
         stride = 1 if stage == 0 else 2

@@ -77,13 +77,27 @@ BORDER_CONV = _os.environ.get("BLOCKCOPY_TPU_BORDER_CONV", "0") == "1"
 # interleaved A/B (tools/ab_flag.py --flag S2D_STEM, 10x150-frame windows)
 # read on=217.5 vs off=254.6 FPS max (15% LOSS, on<off in 9/10 paired
 # windows) even though the per-stage bisect shows the stem at ~1.2 ms of a
-# ~4.1 ms frame.  Interpretation: XLA does NOT pay the feared C=3
-# lane-padding tax on the stem conv (it can keep width in lanes for
-# small-C tensors), while the s2d input shuffle and depth-to-space output
-# shuffle this lowering adds are real relayouts.  Kept as an option with
-# exactness tests (tests/test_s2d_stem.py); the stem's actual cost center
-# needs profiling, not layout guesses.
+# ~4.1 ms frame.  The device profile (tools/profile_top.py) explains both
+# sides: the s2d conv itself hits the MXU roofline (0.095 ms vs 0.32 ms
+# for the C=3 7x7), but the depth-to-space output shuffle costs 0.34 ms
+# and un-fuses the following maxpool from its strip assembly (+0.35 ms).
+# Kept as an option with exactness tests (tests/test_s2d_stem.py).
 S2D_STEM = _os.environ.get("BLOCKCOPY_TPU_S2D_STEM", "0") == "1"
+
+# The profile-guided fix for the above: fuse the WHOLE stem (7x7 s2 conv +
+# BN + ReLU + 3x3 s2 maxpool) in s2d plane form, never materializing the
+# 64-res tensor: the conv produces the four (a, b) output sub-planes as
+# channel groups, BN/ReLU apply with 4x-tiled parameters, and the stride-2
+# maxpool decomposes EXACTLY into an elementwise max of 9 shifted plane
+# views (window row 2Y'+r reads plane a at cell Y'+dY with 2a+...=r), with
+# only top/left cell halos (even sizes: bottom/right halo never read).
+# See ``stem_pool_s2d``; used by both backbones when enabled.
+# Default ON: in-process interleaved A/B (tools/ab_flag.py
+# --flag STEM_PLANE_POOL) measured on=282.4 vs off=252.0 FPS max (+12%,
+# on>off in 8/10 paired windows) on the headline workload — the profile
+# said the s2d conv runs at roofline (0.095 vs 0.32 ms) and this form
+# keeps the pool fused with zero depth-to-space shuffles.
+STEM_PLANE_POOL = _os.environ.get("BLOCKCOPY_TPU_STEM_PLANE_POOL", "1") == "1"
 
 
 def _zero_pad_blocks(data: jax.Array, p: int) -> jax.Array:
@@ -255,6 +269,24 @@ def _s2d_stem_conv(
     relayout.  Replaces nothing in the reference (its CUDA kernels pay no
     lane tax); this is a TPU-layout decision.
     """
+    k_blk, bs = x.data.shape[0], x.data.shape[1]
+    c_out = w.shape[3]
+    cells = bs // 4
+    out = _s2d_stem_conv_planes(ctx, name, x, w)
+    # depth-to-space-2 of the (a, b) output sub-position axes
+    out = out.reshape(k_blk, cells, cells, 2, 2, c_out) \
+             .transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(k_blk, 2 * cells, 2 * cells, c_out)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _s2d_stem_conv_planes(ctx: ExecCtx, name: str, x: BlockPack,
+                          w: jax.Array) -> jax.Array:
+    """The s2d-4 stem conv WITHOUT the depth-to-space: returns
+    ``(K, bs/4, bs/4, 4*Cout)`` where channel ``(a*2+b)*Cout + o`` holds
+    output pixel ``(2Y+a, 2X+b, o)`` of the dense 7x7 stride-2 conv."""
     data = x.data
     k_blk, bs, _, c_in = data.shape
     c_out = w.shape[3]
@@ -272,18 +304,72 @@ def _s2d_stem_conv(
     wp = wp.transpose(0, 2, 1, 3, 4, 5, 6, 7) \
            .reshape(3, 3, 16 * c_in, 4 * c_out)
 
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         padded, wp.astype(padded.dtype), window_strides=(1, 1),
         padding="VALID", dimension_numbers=DIMNUMS,
         preferred_element_type=jnp.float32,
     ).astype(data.dtype)
-    # depth-to-space-2 of the (a, b) output sub-position axes
-    out = out.reshape(k_blk, cells, cells, 2, 2, c_out) \
-             .transpose(0, 1, 3, 2, 4, 5) \
-             .reshape(k_blk, 2 * cells, 2 * cells, c_out)
-    if b is not None:
-        out = out + b.astype(out.dtype)
-    return out
+
+
+def stem_pool_s2d(
+    ctx: ExecCtx,
+    conv_name: str,
+    pool_name: str,
+    x: BlockPack,
+    w: jax.Array,
+    bn_scale: jax.Array,
+    bn_bias: jax.Array,
+) -> BlockPack:
+    """Whole ResNet stem fused in s2d plane form (see STEM_PLANE_POOL):
+    7x7 s2 p3 conv + folded BN + ReLU + 3x3 s2 p1 maxpool, returning
+    ``(K, bs/4, bs/4, Cout)`` without ever materializing the 64-res tensor.
+
+    The maxpool identity: out(Y', X') = max over window rows
+    r in {2Y'-1, 2Y', 2Y'+1} (cols likewise) of P(r, c); writing
+    r = 2(Y'+dY) + a gives row terms (a=1, dY=-1), (a=0, dY=0),
+    (a=1, dY=0) — an elementwise max of 9 shifted (a, b)-plane views.
+    Only the top/left cell halo is read (even block sizes: the window
+    never reaches the bottom/right halo), gathered from a plane strip
+    canvas whose sentinel zeros reproduce the blocked pool's zero border
+    (reference blockpad semantics, exact post-ReLU where values are >= 0).
+    """
+    k_blk, bs = x.data.shape[0], x.data.shape[1]
+    c_out = w.shape[3]
+    cells = bs // 4
+    planes = _s2d_stem_conv_planes(ctx, conv_name, x, w)
+    dt = planes.dtype
+    # BN affine + ReLU with 4x-tiled params (channel order (a, b, o))
+    planes = planes * jnp.tile(bn_scale, 4).astype(dt) \
+        + jnp.tile(bn_bias, 4).astype(dt)
+    planes = jnp.maximum(planes, 0)
+
+    pieces = ctx.exchange_pieces(
+        f"{pool_name}.planes", x.with_data(planes), 1)
+    if pieces is None:  # non-strip canvas lowerings: caller falls back
+        return None
+
+    def plane(t, a, b):
+        lo = (a * 2 + b) * c_out
+        return t[..., lo:lo + c_out]
+
+    def padded_plane(a, b):
+        # (K, 1+cells, 1+cells, Cout): top row / left col / corner from the
+        # halo pieces (zeros past image borders via the sentinel row)
+        cast = lambda p: plane(p.astype(dt), a, b)
+        top = jnp.concatenate(
+            [cast(pieces["top_left"]), cast(pieces["top"])], axis=2)
+        body = jnp.concatenate(
+            [cast(pieces["left"]), plane(planes, a, b)], axis=2)
+        return jnp.concatenate([top, body], axis=1)
+
+    row_terms = ((1, 0), (0, 1), (1, 1))   # (a, start): start = 1 + dY
+    col_terms = ((1, 0), (0, 1), (1, 1))
+    out = None
+    for a, ys in row_terms:
+        for b, xs in col_terms:
+            p = padded_plane(a, b)[:, ys:ys + cells, xs:xs + cells, :]
+            out = p if out is None else jnp.maximum(out, p)
+    return x.with_data(out)
 
 
 def conv2d(

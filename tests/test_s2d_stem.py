@@ -116,3 +116,80 @@ def test_policy_fast_stem_conv4_matches_s2d():
     b = np.asarray(N._conv_stem4(x, p["stem"]))
     scale = np.abs(a).max()
     np.testing.assert_allclose(a, b, atol=3e-3 * scale)
+
+
+def _stem_params(rs, c_out=16):
+    return {
+        "conv1": {"w": jnp.asarray(rs.randn(7, 7, 3, c_out)
+                                   .astype(np.float32))},
+        "bn1": {"scale": jnp.asarray(rs.rand(c_out).astype(np.float32) + 0.5),
+                "bias": jnp.asarray(rs.randn(c_out).astype(np.float32))},
+    }
+
+
+def _run_full_stem(plane_pool, frames, grids, params, n=1, gh=3, gw=4):
+    from blockcopy_tpu.models.swiftnet import _stem
+
+    old = L.STEM_PLANE_POOL
+    L.STEM_PLANE_POOL = plane_pool
+    try:
+        outs = []
+        canvases = {}
+        building = True
+        for frame, grid in zip(frames, grids):
+            idx = gridlib.exec_indices(grid, int(grid.sum()))
+            ctx = ExecCtx.blocked(idx, n, gh, gw, canvases, building=building)
+            building = False
+            pack = split_dense(frame, idx, n, gh, gw)
+            out = _stem(ctx, pack, params)
+            outs.append(np.asarray(out.data, np.float32))
+            canvases = ctx.canvases
+        return outs
+    finally:
+        L.STEM_PLANE_POOL = old
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_stem_plane_pool_matches_exchange(dtype):
+    """STEM_PLANE_POOL: conv+BN+ReLU+maxpool fused in plane form must equal
+    the exchange-path sequence across multi-frame temporal reuse."""
+    n, gh, gw, bs = 1, 3, 4, 16
+    rs = np.random.RandomState(0)
+    frames = [jnp.asarray(rs.randn(n, gh * bs, gw * bs, 3).astype(dtype))
+              for _ in range(4)]
+    grids = [
+        jnp.ones((n, gh, gw), bool),
+        jnp.zeros((n, gh, gw), bool).at[0, ::2, 1::2].set(True),
+        jnp.zeros((n, gh, gw), bool).at[0, 1, :].set(True),
+        jnp.zeros((n, gh, gw), bool).at[0, :, 2].set(True),
+    ]
+    params = _stem_params(rs)
+    ref = _run_full_stem(False, frames, grids, params)
+    got = _run_full_stem(True, frames, grids, params)
+    tol = 3e-2 if dtype == jnp.bfloat16 else 1e-5
+    for t, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(a, b, rtol=tol, atol=tol,
+                                   err_msg=f"frame {t}")
+
+
+def test_stem_plane_pool_vs_dense_all_exec():
+    """All blocks executed: fused plane-form stem == dense stem sequence."""
+    n, gh, gw, bs = 1, 3, 4, 16
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.randn(n, gh * bs, gw * bs, 3).astype(np.float32))
+    params = _stem_params(rs)
+
+    dctx = ExecCtx.dense()
+    d = L.conv2d(dctx, "c", img, params["conv1"]["w"], stride=2, padding=3)
+    d = L.batch_norm(d, params["bn1"]["scale"], params["bn1"]["bias"])
+    d = L.relu(d)
+    # dense maxpool pads with -inf; post-ReLU values are >= 0 so the
+    # blocked path's zero border matches only where the window has any
+    # in-bounds pixel — true everywhere for p=1/k=3.
+    dense = np.asarray(L.max_pool2d(dctx, "mp", d, 3, 2, 1))
+
+    got = _run_full_stem(True, [img], [jnp.ones((n, gh, gw), bool)],
+                         params)[0]
+    got_dense = np.asarray(block_layout_to_dense(
+        jnp.asarray(got), n, gh, gw))
+    np.testing.assert_allclose(dense, got_dense, rtol=1e-5, atol=1e-5)
