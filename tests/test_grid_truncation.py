@@ -119,9 +119,16 @@ class TestSampleGridTruncation:
         # both schemes steer execution into the moving half
         assert s_left > s_right, (s_left, s_right)
         assert l_left > l_right, (l_left, l_right)
-        # the stepper holds the target exactly; the ladder only rounds up
+        # the stepper holds the target exactly; the ladder only shape-
+        # quantizes (round UP to a multiple of total/16), which does NOT
+        # guarantee mean exec >= target: when the policy samples few
+        # blocks, quantize(2) == 2 < capacity 4, and the complexity reward
+        # only steers the EMA back toward target stochastically.  A
+        # tighter `>= target` bound held for one trajectory and broke when
+        # a bf16-rounding-level policy change (k4s4 stem lowering) flipped
+        # Bernoulli draws — assert the non-degenerate band instead.
         assert sgrids.mean() == pytest.approx(0.125)
-        assert lgrids.mean() >= 0.125 - 1e-6
+        assert 0.5 * 0.125 <= lgrids.mean() <= 4 * 0.125, lgrids.mean()
         # Measured result (r3): at capacity 4/32 BOTH samplers are
         # seed-noisy — moving-half share over seeds 1-3 was 0.61/0.955 for
         # exact-capacity and 1.00/0.50 for a prob-ranked-drop variant — so
