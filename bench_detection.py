@@ -83,8 +83,9 @@ def main():
 
     fence(state)
     # max over fenced windows: relay interference is one-sided (see
-    # bench.py) — windows only ever spike low
-    fps = 0.0
+    # bench.py) — windows only ever spike low.  The median is recorded
+    # alongside for comparability with pre-r3 artifacts (advisor finding).
+    windows = []
     for _ in range(3):
         t0 = time.perf_counter()
         for t in range(args.frames):
@@ -92,12 +93,16 @@ def main():
         checksum = fence(state)
         dt = time.perf_counter() - t0
         assert np.isfinite(checksum)
-        fps = max(fps, args.frames / dt)
+        windows.append(args.frames / dt)
+    fps = float(np.max(windows))
     print(json.dumps({
         "metric": "csp_r50_blockcopy_fps_1024x2048_t03",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / DETECTION_BASELINE_FPS, 3),
+        "estimator": "max_of_3_fenced_windows",
+        "median_fps": round(float(np.median(windows)), 3),
+        "windows_fps": [round(float(w), 3) for w in windows],
     }))
 
 

@@ -290,6 +290,10 @@ def maybe_fused_bottleneck(ctx, name, x, p, stride, groups=1, dilation=1):
             and dilation == 1 and "downsample" not in p
             and _blocked.HALO_IMPL == "strips"
             and p["conv2"]["w"].shape[2] % 128 == 0
+            # c_out lane alignment must hold in its own right: the kernel's
+            # 1x1/residual operands tile on c_out, which is only 128-aligned
+            # today via ResNet's expansion-4 convention (advisor finding).
+            and x.data.shape[-1] % 128 == 0
             and x.data.shape[1] >= 8):
         return _fused_bottleneck(ctx, name, x, p)
     return None
@@ -326,7 +330,12 @@ def _stem(ctx: ExecCtx, x, params):
     if (L.STEM_PLANE_POOL and isinstance(x, BlockPack) and not ctx.is_dense
             and not L.BLOCKPAD_WITH_ZEROES and w.shape[0] == 7
             and w.shape[2] <= 4 and x.data.shape[1] % 4 == 0
-            and x.data.shape[1] >= 8):
+            and x.data.shape[1] >= 8
+            # Strip canvases only: under full/pallas halo lowerings
+            # exchange_pieces returns None, but only AFTER the s2d plane
+            # conv has run and scattered a dead canvas — the stem would
+            # execute twice per frame (advisor finding, round 3).
+            and _blocked.HALO_IMPL == "strips"):
         out = L.stem_pool_s2d(ctx, "backbone.conv1", "backbone.maxpool", x,
                               w, params["bn1"]["scale"],
                               params["bn1"]["bias"])
