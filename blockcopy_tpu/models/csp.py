@@ -20,6 +20,7 @@ TPU-native port of the reference detection stack
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, List, Sequence
 
@@ -27,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from blockcopy_tpu.core import blocked as _blockedmod
 from blockcopy_tpu.core import grid as gridlib
 from blockcopy_tpu.core.blocked import ExecCtx, split_dense
 from blockcopy_tpu.ops import layers as L
@@ -38,6 +40,17 @@ from blockcopy_tpu.models.swiftnet import (
 )
 from blockcopy_tpu.utils.flops import FlopsTracker, policy_net_macs
 from blockcopy_tpu.utils.profiler import timings
+
+
+# Run the head's final 3x3 prediction convs BLOCKED (over executed blocks,
+# halo from the branch-feat strip canvases) instead of dense — see
+# ``csp_head``.  Default ON: full-program interleaved A/B on the detection
+# bench (r4, tools/ab_flag_detection.py) measured 134.7 vs 92.8 FPS max
+# (+45%, on>off in 8/8 windows).  The reference-exact dense tail stays one
+# env var away (BLOCKCOPY_TPU_HEAD_BLOCKED_FINAL=0); divergence is bounded
+# to the 1-px borders of skipped blocks (tests/test_detection_stepper.py).
+HEAD_BLOCKED_FINAL = os.environ.get(
+    "BLOCKCOPY_TPU_HEAD_BLOCKED_FINAL", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,10 +242,28 @@ def csp_neck(params, feats, ctx: ExecCtx, cfg: CSPConfig):
 
 
 def csp_head(params, x, ctx: ExecCtx, cfg: CSPConfig):
-    """Three branches; blocked ConvModules then dense final convs.
+    """Three branches; blocked ConvModules then final prediction convs.
 
     Returns dense (cls_score, bbox_pred, offset_pred) at stride 4.
+
+    Two lowerings of the tail, selected by ``HEAD_BLOCKED_FINAL``:
+
+    * OFF (reference semantics, ``csp_head.py:135-151``): combine each
+      branch to dense after its ConvModule, run the final 3x3 convs dense.
+    * ON (TPU lowering, r4 profile-guided): the final convs run BLOCKED
+      over executed blocks, with their halo gathered from the branch-feat
+      strip canvases — which hold exactly the rows the dense conv would
+      read (fresh strips for executed neighbors, previous-frame strips
+      otherwise) — and per-map output canvases give the dense maps for
+      decode.  This removes three 256-ch dense-canvas round-trips and cuts
+      the final convs (C_out 1/1/2: ~3% MXU lane utilization, 1.2 ms/frame
+      dense at 1024x2048) to the executed blocks.  Divergence vs dense:
+      only the 1-px borders of SKIPPED blocks adjacent to executed ones
+      (dense recomputes them with fresh neighbor halo; blocked keeps the
+      previous frame's values) — bounded by tests/test_detection_stepper.py.
     """
+    blocked_tail = HEAD_BLOCKED_FINAL and not ctx.is_dense \
+        and isinstance(x, _blockedmod.BlockPack)
     outs = {}
     for branch in ("cls", "reg", "offset"):
         feat = x
@@ -242,18 +273,22 @@ def csp_head(params, x, ctx: ExecCtx, cfg: CSPConfig):
                                 cm["gn"]["beta"])
             feat = L.relu(feat)
             # combine to dense after each ConvModule (csp_head.py:135-151)
-            if not ctx.is_dense:
+            if not ctx.is_dense and not blocked_tail:
                 feat = ctx.store_dense(f"head.{branch}{i}.dense", feat)
         outs[branch] = feat
-    dense = ctx.as_dense()
-    cls_score = L.conv2d(dense, "head.csp_cls", outs["cls"],
+    fctx = ctx if blocked_tail else ctx.as_dense()
+    cls_score = L.conv2d(fctx, "head.csp_cls", outs["cls"],
                          params["csp_cls"]["w"], params["csp_cls"]["b"])
-    bbox_pred = L.conv2d(dense, "head.csp_reg", outs["reg"],
+    bbox_pred = L.conv2d(fctx, "head.csp_reg", outs["reg"],
                          params["csp_reg"]["w"], params["csp_reg"]["b"])
-    bbox_pred = bbox_pred.astype(jnp.float32) * params["reg_scale"]
-    offset_pred = L.conv2d(dense, "head.csp_offset", outs["offset"],
+    offset_pred = L.conv2d(fctx, "head.csp_offset", outs["offset"],
                            params["csp_offset"]["w"],
                            params["csp_offset"]["b"])
+    if blocked_tail:
+        cls_score = ctx.store_dense("head.csp_cls.out", cls_score)
+        bbox_pred = ctx.store_dense("head.csp_reg.out", bbox_pred)
+        offset_pred = ctx.store_dense("head.csp_offset.out", offset_pred)
+    bbox_pred = bbox_pred.astype(jnp.float32) * params["reg_scale"]
     offset_pred = offset_pred.astype(jnp.float32) * params["offset_scale"]
     return cls_score.astype(jnp.float32), bbox_pred, offset_pred
 
@@ -396,6 +431,19 @@ class CSPBlockCopy:
         self.clip_length = 0
         self.policy_meta = {"inputs": None, "outputs": None,
                             "outputs_prev": None}
+
+    # policy persistence (amortizes the 300-400 clip warmup the reference
+    # pays every run, tools/test_city_person.py:218) — shared npz layout
+    # with BlockCopyModel via utils/policy_ckpt.py
+    def save_policy(self, path: str) -> None:
+        from blockcopy_tpu.utils.policy_ckpt import save_ladder_policy
+
+        save_ladder_policy(self.policy, path)
+
+    def load_policy(self, path: str) -> None:
+        from blockcopy_tpu.utils.policy_ckpt import load_ladder_policy
+
+        load_ladder_policy(self.policy, path)
 
     def _init_temporal(self, frame):
         n, h, w, _ = frame.shape

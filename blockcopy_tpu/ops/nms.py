@@ -30,32 +30,55 @@ def box_iou_matrix(boxes: jax.Array) -> jax.Array:
 
 
 def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
-             valid: jax.Array = None, iou: jax.Array = None) -> jax.Array:
-    """Greedy NMS over score-sorted candidates.
+             valid: jax.Array = None, iou: jax.Array = None,
+             max_keep: int = None) -> jax.Array:
+    """Greedy NMS as a selection loop (scores need NOT be pre-sorted).
+
+    Equivalent to the classic sorted sequential sweep — the reference CUDA
+    kernel's semantics (``nms_kernel.cu``) — but TPU-shaped: each iteration
+    argmax-selects the highest-scoring live candidate and suppresses its
+    overlaps vectorially, so the loop runs ``max_keep`` times (the number
+    of boxes that can be KEPT) instead of N times.  Equivalence: suppressed
+    boxes never become pivots in either formulation, and selection order by
+    descending score is exactly the sorted sweep's pivot order (ties break
+    to the lowest index in both, given descending-stable-sorted input).
+    Profiled r4: the N=1000 sequential sweep was 2.1 ms/frame of the
+    detection step — 14% of the whole frame; this form is ~10x fewer
+    iterations at the same per-iteration cost.
 
     Args:
-        boxes: (N, 4) sorted by descending score.
-        scores: (N,) descending.
+        boxes: (N, 4) xyxy.
+        scores: (N,) finite scores (−inf is reserved as the dead sentinel).
         valid: (N,) bool; padding rows must be False.
         iou: optional precomputed (N, N) pairwise IoU of ``boxes`` (callers
-            with class-shared boxes compute it once and reindex per class).
+            with class-shared boxes compute it once and share it per class).
+        max_keep: iteration budget = max boxes that can be kept.  Defaults
+            to N (exact full NMS).  Callers that later truncate to the top
+            K kept boxes can pass K: kept boxes beyond the budget would be
+            dropped by that truncation anyway.
     Returns:
         keep: (N,) bool mask.
     """
     n = boxes.shape[0]
     iou = box_iou_matrix(boxes) if iou is None else iou
     valid = jnp.ones((n,), bool) if valid is None else valid
+    iters = n if max_keep is None else min(max_keep, n)
+    live = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
 
-    def body(i, state):
-        keep, suppressed = state
-        k = valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(k)
-        row = (iou[i] > iou_thr) & k
-        suppressed = suppressed | row.at[i].set(False)
-        return keep, suppressed
+    def body(_, state):
+        keep, live = state
+        i = jnp.argmax(live)
+        ok = live[i] > -jnp.inf
+        # once the live set is exhausted argmax degenerates to index 0;
+        # OR-ing preserves an earlier keep there instead of clearing it
+        keep = keep.at[i].set(keep[i] | ok)
+        # the pivot leaves the live set along with its suppressed overlaps
+        dead = (iou[i] > iou_thr) | (jnp.arange(n) == i)
+        live = jnp.where(ok & dead, -jnp.inf, live)
+        return keep, live
 
     keep, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+        0, iters, body, (jnp.zeros((n,), bool), live)
     )
     return keep
 
@@ -74,7 +97,12 @@ def multiclass_nms_fixed(
     Returns (dets (max_per_img, 5), labels (max_per_img,), valid mask).
     """
     n, num_classes = scores.shape
-    # boxes are shared across classes: one IoU matrix, reindexed per class
+    # boxes are shared across classes: one IoU matrix, shared per class
+    # (the selection-loop nms_mask needs no pre-sort, so no (N, N) permute
+    # per class either).  max_keep=max_per_img is exact: kept boxes beyond
+    # the budget are strictly lower-scored than max_per_img kept boxes of
+    # the same class, so the final cross-class top-max_per_img cut below
+    # could never include them.
     iou_full = box_iou_matrix(bboxes)
     all_dets = []
     all_labels = []
@@ -82,13 +110,9 @@ def multiclass_nms_fixed(
     for c in range(num_classes):
         s = scores[:, c]
         v = s > score_thr
-        order = jnp.argsort(-jnp.where(v, s, -jnp.inf))
-        b_sorted = bboxes[order]
-        s_sorted = s[order]
-        v_sorted = v[order]
-        keep = nms_mask(b_sorted, s_sorted, iou_thr, v_sorted,
-                        iou=iou_full[order][:, order])
-        all_dets.append(jnp.concatenate([b_sorted, s_sorted[:, None]], -1))
+        keep = nms_mask(bboxes, s, iou_thr, v, iou=iou_full,
+                        max_keep=max_per_img)
+        all_dets.append(jnp.concatenate([bboxes, s[:, None]], -1))
         all_labels.append(jnp.full((n,), c, jnp.int32))
         all_keep.append(keep)
     dets = jnp.concatenate(all_dets)

@@ -63,6 +63,47 @@ class TestNMS:
         np.testing.assert_allclose(sorted(kept_scores, reverse=True),
                                    [0.9, 0.6], rtol=1e-6)
 
+    def test_selection_loop_matches_sequential_sweep(self):
+        """The argmax-selection NMS (r4, TPU-shaped: max_keep iterations)
+        must match the classic score-sorted sequential sweep box for box —
+        including with a max_keep budget, where it must return a prefix of
+        the sweep's kept sequence."""
+        rs = np.random.RandomState(7)
+        for trial in range(5):
+            n = 120
+            xy = rs.rand(n, 2) * 80
+            wh = rs.rand(n, 2) * 40 + 4
+            boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            scores = rs.rand(n).astype(np.float32)
+            valid = rs.rand(n) > 0.2
+
+            # reference semantics: numpy sequential greedy sweep
+            order = np.argsort(-np.where(valid, scores, -np.inf),
+                               kind="stable")
+            iou = np.asarray(box_iou_matrix(jnp.asarray(boxes)))
+            kept_seq = []
+            suppressed = np.zeros(n, bool)
+            for i in order:
+                if not valid[i] or suppressed[i]:
+                    continue
+                kept_seq.append(i)
+                suppressed |= iou[i] > 0.5
+            keep_ref = np.zeros(n, bool)
+            keep_ref[kept_seq] = True
+
+            keep = np.asarray(nms_mask(jnp.asarray(boxes),
+                                       jnp.asarray(scores), 0.5,
+                                       jnp.asarray(valid)))
+            np.testing.assert_array_equal(keep, keep_ref)
+
+            k = 6
+            keep_k = np.asarray(nms_mask(jnp.asarray(boxes),
+                                         jnp.asarray(scores), 0.5,
+                                         jnp.asarray(valid), max_keep=k))
+            keep_prefix = np.zeros(n, bool)
+            keep_prefix[kept_seq[:k]] = True
+            np.testing.assert_array_equal(keep_k, keep_prefix)
+
     def test_soft_nms(self):
         from blockcopy_tpu.ops.nms import soft_nms_numpy
         dets = np.array([[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],

@@ -90,6 +90,60 @@ class TestIoUGainParity:
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+class TestHeadBlockedFinal:
+    """The r4 TPU lowering of the head tail (final 3x3 prediction convs run
+    blocked, halo from strip canvases, outputs through per-map canvases —
+    ``models/csp.py:csp_head``) vs the reference-exact dense tail."""
+
+    def _run_two_frames(self, flag, monkeypatch):
+        from blockcopy_tpu.core import grid as gridlib
+        from blockcopy_tpu.core.blocked import ExecCtx, split_dense
+        from blockcopy_tpu.models import csp as csp_mod
+        from blockcopy_tpu.models.csp import CSPConfig, csp_apply, init_csp
+
+        monkeypatch.setattr(csp_mod, "HEAD_BLOCKED_FINAL", flag)
+        cfg = CSPConfig(stage_blocks=(1, 1, 1, 1))
+        params = init_csp(jax.random.PRNGKey(0), cfg)
+        n, gh, gw = 1, 2, 2
+        rs = np.random.RandomState(5)
+        f0 = jnp.asarray(rs.randn(1, 256, 256, 3).astype(np.float32))
+        f1 = f0 + jnp.asarray(rs.randn(1, 256, 256, 3).astype(np.float32))
+
+        idx0 = jnp.arange(4, dtype=jnp.int32)
+        ctx0 = ExecCtx.blocked(idx0, n, gh, gw, {}, building=True)
+        out0 = csp_apply(params, split_dense(f0, idx0, n, gh, gw), ctx0, cfg)
+
+        idx1 = gridlib.exec_indices(
+            jnp.array([[[True, False], [False, True]]]), 2)
+        ctx1 = ExecCtx.blocked(idx1, n, gh, gw, ctx0.canvases)
+        out1 = csp_apply(params, split_dense(f1, idx1, n, gh, gw), ctx1, cfg)
+        return [np.asarray(o) for o in out0], [np.asarray(o) for o in out1]
+
+    def test_all_exec_exact_partial_bounded(self, monkeypatch):
+        a0, a1 = self._run_two_frames(False, monkeypatch)
+        b0, b1 = self._run_two_frames(True, monkeypatch)
+        # frame 1 (all blocks executed): the blocked final conv reads the
+        # exact same neighborhoods the dense conv reads -> equal maps
+        for x, y in zip(a0, b0):
+            np.testing.assert_allclose(x, y, rtol=1e-4, atol=5e-5)
+        # frame 2 (blocks 0 and 3 executed): executed blocks exact; skipped
+        # blocks equal except their 1-px borders (dense recomputes them with
+        # fresh neighbor halo, blocked keeps the previous frame's values)
+        o = 32  # block size at stride 4
+        for x, y in zip(a1, b1):
+            for (by, bx) in [(0, 0), (1, 1)]:   # executed
+                np.testing.assert_allclose(
+                    x[:, by * o:(by + 1) * o, bx * o:(bx + 1) * o],
+                    y[:, by * o:(by + 1) * o, bx * o:(bx + 1) * o],
+                    rtol=1e-4, atol=5e-5)
+            for (by, bx) in [(0, 1), (1, 0)]:   # skipped: interior equal
+                xi = x[:, by * o + 1:(by + 1) * o - 1,
+                       bx * o + 1:(bx + 1) * o - 1]
+                yi = y[:, by * o + 1:(by + 1) * o - 1,
+                       bx * o + 1:(bx + 1) * o - 1]
+                np.testing.assert_allclose(xi, yi, rtol=1e-4, atol=5e-5)
+
+
 class TestDetectionStepper:
     def _build(self, policy_arch="ref"):
         from blockcopy_tpu.core.stepper import StepperConfig
