@@ -100,19 +100,35 @@ class TestSampleGridTruncation:
         sgrids = np.stack(sgrids[-36:])
 
         # --- ladder engine: reference round-up-only quantize --------------
+        # Run over several policy seeds, reusing the per-capacity compiled
+        # steps (the expensive part) across seeds: only the policy is
+        # rebuilt.  A single trajectory at capacity 4/32 is Bernoulli-noisy
+        # enough that a bf16-level lowering change once flipped it (r3);
+        # the seed-AVERAGED exec rate is the quantity the complexity reward
+        # actually controls, so that is what gets the tight bound.
         from blockcopy_tpu import BlockCopyModel
         from blockcopy_tpu.core.argparser import default_settings
+        from blockcopy_tpu.policy.policies import build_policy_from_settings
 
-        model = BlockCopyModel(
-            make_apply_fn(CFG), params,
-            default_settings(block_policy="rl_semseg", block_size=64,
-                             block_target=0.125, block_train_interval=2))
-        model.reset_temporal()
-        lgrids = []
-        for t in range(n_frames):
-            model(frame(t))
-            lgrids.append(np.asarray(model.policy_meta["grid"])[0])
-        lgrids = np.stack(lgrids[-36:])
+        settings = default_settings(block_policy="rl_semseg", block_size=64,
+                                    block_target=0.125,
+                                    block_train_interval=2)
+        model = BlockCopyModel(make_apply_fn(CFG), params, settings)
+        seed_means = []
+        lgrids = None
+        for seed in range(5):
+            if seed > 0:
+                model.policy = build_policy_from_settings(
+                    dict(settings, block_seed=seed))
+            model.reset_temporal()
+            grids = []
+            for t in range(n_frames):
+                model(frame(t))
+                grids.append(np.asarray(model.policy_meta["grid"])[0])
+            grids = np.stack(grids[-36:])
+            if seed == 0:
+                lgrids = grids
+            seed_means.append(grids.mean())
 
         s_left, s_right = sgrids[:, :, :4].mean(), sgrids[:, :, 4:].mean()
         l_left, l_right = lgrids[:, :, :4].mean(), lgrids[:, :, 4:].mean()
@@ -121,14 +137,17 @@ class TestSampleGridTruncation:
         assert l_left > l_right, (l_left, l_right)
         # the stepper holds the target exactly; the ladder only shape-
         # quantizes (round UP to a multiple of total/16), which does NOT
-        # guarantee mean exec >= target: when the policy samples few
-        # blocks, quantize(2) == 2 < capacity 4, and the complexity reward
-        # only steers the EMA back toward target stochastically.  A
-        # tighter `>= target` bound held for one trajectory and broke when
-        # a bf16-rounding-level policy change (k4s4 stem lowering) flipped
-        # Bernoulli draws — assert the non-degenerate band instead.
+        # guarantee mean exec >= target on any one trajectory: when the
+        # policy samples few blocks, quantize(2) == 2 < capacity 4, and the
+        # complexity reward only steers the EMA back toward the target
+        # stochastically.  Individual seeds swing (a bf16-rounding-level
+        # lowering change once flipped the draws of a single trajectory),
+        # so the tracking assertion is SEED-AVERAGED and tight: the mean
+        # exec rate over 5 policy seeds must land within +-50% of the
+        # target (VERDICT r3 item 7).
         assert sgrids.mean() == pytest.approx(0.125)
-        assert 0.5 * 0.125 <= lgrids.mean() <= 4 * 0.125, lgrids.mean()
+        seed_avg = float(np.mean(seed_means))
+        assert 0.5 * 0.125 <= seed_avg <= 1.5 * 0.125, (seed_avg, seed_means)
         # Measured result (r3): at capacity 4/32 BOTH samplers are
         # seed-noisy — moving-half share over seeds 1-3 was 0.61/0.955 for
         # exact-capacity and 1.00/0.50 for a prob-ranked-drop variant — so
