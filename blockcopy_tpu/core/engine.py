@@ -163,29 +163,14 @@ class BlockCopyModel:
     # clips resumed mid-stream.
 
     def save_policy(self, path: str) -> None:
-        from blockcopy_tpu.utils.checkpoint import save_params
+        from blockcopy_tpu.utils.policy_ckpt import save_ladder_policy
 
-        state = self.policy.state()
-        if state:
-            state = dict(state)
-            # explicit None check: a legitimate running_cost of 0.0 must not
-            # collapse into the -1.0 'uninitialized' sentinel
-            rc = state.get("running_cost")
-            state["running_cost"] = jnp.float32(-1.0 if rc is None else rc)
-            save_params(path, state)
+        save_ladder_policy(self.policy, path)
 
     def load_policy(self, path: str) -> None:
-        from blockcopy_tpu.utils.checkpoint import load_npz
+        from blockcopy_tpu.utils.policy_ckpt import load_ladder_policy
 
-        like = self.policy.state()
-        if not like:
-            return
-        like = dict(like)
-        like["running_cost"] = jnp.float32(-1.0)
-        loaded = load_npz(path, like)
-        rc = float(loaded["running_cost"])
-        loaded["running_cost"] = None if rc < 0 else rc
-        self.policy.load_state(loaded)
+        load_ladder_policy(self.policy, path)
 
     # -- frame loop ---------------------------------------------------------
 

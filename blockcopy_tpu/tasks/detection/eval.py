@@ -115,6 +115,13 @@ def build_argparser():
     p.add_argument("--output-dir", type=str, default="",
                    help="write detection/grid visualization overlays")
     p.add_argument("--timings", type=int, default=0)
+    p.add_argument("--policy-checkpoint", type=str, default="",
+                   help="load the online policy state from this path if it "
+                   "exists, and (re)save it after warmup — amortizes the "
+                   "300-400 clip warmup the reference pays every run "
+                   "(test_city_person.py:218).  npz = single-replica flat "
+                   "file; a non-.npz path in mesh mode = orbax directory "
+                   "(same contract as the semseg CLI)")
     p.add_argument("--checkpoint-start", type=int, default=-1,
                    help="with --checkpoint-end: evaluate the epoch range "
                    "[start, end) of a training run, treating --checkpoint "
@@ -165,12 +172,13 @@ class _StepperDetector:
         self.n_devices = n_devices
         self.stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity,
                                         dtype=dtype)
+        self.mesh = None
         if n_devices > 1:
             from blockcopy_tpu.parallel import clip_parallel
 
-            mesh = clip_parallel.make_mesh(n_devices)
+            self.mesh = clip_parallel.make_mesh(n_devices)
             self._first, self._step = clip_parallel.build_parallel_steps(
-                self.stepper, mesh)
+                self.stepper, self.mesh)
             self.state = clip_parallel.init_parallel_state(
                 self.stepper, params, _jax.random.PRNGKey(1), n_devices)
         else:
@@ -235,6 +243,23 @@ class _StepperDetector:
     def policy_meta(self):
         # viz compatibility with the ladder engine's meta dict
         return {"grid": self.state["prev_grid"] > 0}
+
+    # policy persistence, symmetric with the semseg CLI (npz single-replica,
+    # orbax mesh mode) — shared logic in utils/policy_ckpt.py
+    def load_policy(self, path):
+        from blockcopy_tpu.utils.policy_ckpt import load_stepper_policy
+
+        devices = self.n_devices if self.n_devices > 1 else 0
+        self.state = {**self.state,
+                      "policy": load_stepper_policy(
+                          path, self.state["policy"], devices=devices,
+                          mesh=self.mesh)}
+
+    def save_policy(self, path):
+        from blockcopy_tpu.utils.policy_ckpt import save_stepper_policy
+
+        devices = self.n_devices if self.n_devices > 1 else 0
+        save_stepper_policy(path, self.state["policy"], devices=devices)
 
 
 def _explicitly_passed(argv) -> set:
@@ -488,8 +513,15 @@ def main(argv=None):
         from blockcopy_tpu.core.stepper import FixedCapacityStepper
         FixedCapacityStepper.check_policy_finite(model.state["policy"], phase)
 
+    # os.path.exists, not isfile: orbax checkpoints are directories
+    if args.policy_checkpoint and os.path.exists(args.policy_checkpoint):
+        logger.info("loading policy state from %s", args.policy_checkpoint)
+        model.load_policy(args.policy_checkpoint)
     run_phase(ds_warm, "warmup", args.num_clips_warmup)
     check_policy_health("warmup")
+    if args.policy_checkpoint:
+        model.save_policy(args.policy_checkpoint)
+        logger.info("saved policy state to %s", args.policy_checkpoint)
     if not args.speed_mode:
         model.flops.reset_frames()
     dets, num_images, elapsed = run_phase(ds_eval, "eval",

@@ -415,65 +415,20 @@ def main(argv=None):
             stepper_state["state"]["policy"], phase)
 
     def load_stepper_policy(path):
-        from blockcopy_tpu.utils.checkpoint import load_npz, load_orbax
-        pol = stepper_state["state"]["policy"]
-        d = stepper_state.get("devices", 0)
-        if os.path.isdir(path):
-            # orbax checkpoint (a directory): restores the FULL mesh-stacked
-            # pytree — per-replica keys included, no host stack/unstack.
-            # Restore against an ABSTRACT like carrying the mesh sharding
-            # (dim 0 over the clip axis): orbax then materializes shards in
-            # place; a concrete like would commit everything to device 0
-            # and poison the sharded jit.
-            like = pol
-            if d:
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                from blockcopy_tpu.parallel import clip_parallel
-                spec = NamedSharding(stepper_state["mesh"],
-                                     P(clip_parallel.AXIS))
-                like = jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                                   sharding=spec), pol)
-            stepper_state["state"] = {**stepper_state["state"],
-                                      "policy": load_orbax(path, like)}
-            return
-        # npz checkpoints are single-replica: load flat, then broadcast over
-        # the mesh (sampling keys stay distinct per device so clips explore
-        # independently)
-        like = jax.tree.map(lambda x: x[0], pol) if d else pol
-        try:
-            loaded = load_npz(path, like)
-        except KeyError:
-            # ladder-engine naming (net_params/opt_state) — translate
-            like2 = {"net_params": like["params"],
-                     "bn_state": like["bn_state"],
-                     "opt_state": like["opt"],
-                     "running_cost": like["running_cost"],
-                     "key": like["key"]}
-            tr = load_npz(path, like2)
-            loaded = {"params": tr["net_params"], "bn_state": tr["bn_state"],
-                      "opt": tr["opt_state"],
-                      "running_cost": tr["running_cost"], "key": tr["key"]}
-        if d:
-            loaded = jax.tree.map(lambda x: jnp.stack([x] * d), loaded)
-            loaded["key"] = pol["key"]
-        stepper_state["state"] = {**stepper_state["state"], "policy": loaded}
+        # shared with the detection CLI — utils/policy_ckpt.py
+        from blockcopy_tpu.utils.policy_ckpt import (
+            load_stepper_policy as _load)
+        stepper_state["state"] = {
+            **stepper_state["state"],
+            "policy": _load(path, stepper_state["state"]["policy"],
+                            devices=stepper_state.get("devices", 0),
+                            mesh=stepper_state.get("mesh"))}
 
     def save_stepper_policy(path):
-        from blockcopy_tpu.utils.checkpoint import save_orbax, save_params
-        pol = stepper_state["state"]["policy"]
-        if stepper_state.get("devices", 0) and not path.endswith(".npz"):
-            # mesh state goes through orbax AS-IS (sharded save, no host
-            # gather, per-replica sampling keys preserved); an explicit
-            # .npz path keeps the legacy single-replica flat file
-            save_orbax(path, pol)
-            return
-        if stepper_state.get("devices", 0):
-            # replicas share params (pmean'd grads): device 0 is canonical
-            pol = jax.tree.map(lambda x: x[0], pol)
-        save_params(path, pol)
+        from blockcopy_tpu.utils.policy_ckpt import (
+            save_stepper_policy as _save)
+        _save(path, stepper_state["state"]["policy"],
+              devices=stepper_state.get("devices", 0))
 
     # os.path.exists, not isfile: orbax checkpoints are directories
     if args.policy_checkpoint and os.path.exists(args.policy_checkpoint):

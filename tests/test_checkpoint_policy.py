@@ -133,6 +133,55 @@ class TestPolicyPersistence:
         cli.main(common)
 
 
+class TestDetectionPolicyPersistence:
+    """The detection CLI's --policy-checkpoint (VERDICT r3 item 6): same
+    npz/orbax contract as the semseg CLI, shared via utils/policy_ckpt.py,
+    so the 300-400 clip detection warmup is amortizable."""
+
+    COMMON = [
+        "--synthetic", "--res", "256", "--clip-length", "3",
+        "--num-clips-warmup", "1", "--num-clips-eval", "1",
+        "--workers", "0",
+    ]
+
+    def test_cli_ladder_roundtrip(self, tmp_path):
+        from blockcopy_tpu.tasks.detection import eval as cli
+        p = str(tmp_path / "detpol.npz")
+        cli.main(self.COMMON + ["--policy-checkpoint", p])
+        assert os.path.exists(p)
+        # second run loads it back through the ladder path without error
+        cli.main(self.COMMON + ["--policy-checkpoint", p])
+
+    def test_cli_speed_mode_roundtrip(self, tmp_path):
+        from blockcopy_tpu.tasks.detection import eval as cli
+        p = str(tmp_path / "detpol_step.npz")
+        args = self.COMMON + ["--speed-mode", "--policy-checkpoint", p]
+        cli.main(args)
+        assert os.path.exists(p)
+        # the saved pytree uses stepper naming and reloads exactly
+        from blockcopy_tpu.core.stepper import StepperConfig
+        from blockcopy_tpu.models.csp import CSPConfig
+        from blockcopy_tpu.tasks.detection.stepper import DetectionStepper
+        from blockcopy_tpu.utils.checkpoint import load_npz
+        st = DetectionStepper(CSPConfig(),
+                              StepperConfig(block_size=128, num_classes=1),
+                              (1, 256, 512, 3), capacity=2)
+        like = st.init_policy_state(jax.random.PRNGKey(5))
+        loaded = load_npz(p, like)
+        assert np.asarray(loaded["params"]["conv1"]["w"]).ndim == 4
+        cli.main(args)  # reload path
+
+    def test_cli_mesh_orbax_roundtrip(self, tmp_path):
+        from blockcopy_tpu.tasks.detection import eval as cli
+        p = str(tmp_path / "detpol_orbax")
+        args = self.COMMON + ["--speed-mode", "--num-devices", "2",
+                              "--num-clips-eval", "2",
+                              "--policy-checkpoint", p]
+        cli.main(args)
+        assert os.path.isdir(p)  # orbax checkpoints are directories
+        cli.main(args)  # restore through the mesh/orbax path
+
+
 class TestDemoDataset:
     def test_demo_dir_cli(self, tmp_path):
         from blockcopy_tpu.tasks.semseg import eval as cli
