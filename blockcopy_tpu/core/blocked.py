@@ -415,9 +415,11 @@ class ExecCtx:
         return gather_halo_strips(strips, x.idx, pad, self.n, self.gh,
                                   self.gw)
 
-    def store_dense(self, name: str, x: BlockPack) -> jax.Array:
-        """Scatter blocks into the named canvas and return the dense image —
-        the reference's ``combine_()`` (``core/tensorwrapper.py:391-395``)."""
+    def store_blocks(self, name: str, x: BlockPack) -> jax.Array:
+        """Scatter blocks into the named canvas and return the canvas in
+        BLOCK layout ``(N*GH*GW+1, bs, bs, C)`` — ``store_dense`` without
+        the dense rebuild, for consumers that can stay block-major
+        (``core/stepper.py`` OUT_BLOCKS lowering)."""
         if name in self.stored_names:
             raise ValueError(
                 f"canvas '{name}' was already stored this frame: two call "
@@ -428,6 +430,12 @@ class ExecCtx:
         canvas = self.canvas_for(name, x)
         canvas = scatter_pack(canvas, x)
         self.canvases[name] = canvas
+        return canvas
+
+    def store_dense(self, name: str, x: BlockPack) -> jax.Array:
+        """Scatter blocks into the named canvas and return the dense image —
+        the reference's ``combine_()`` (``core/tensorwrapper.py:391-395``)."""
+        canvas = self.store_blocks(name, x)
         return block_layout_to_dense(canvas, self.n, self.gh, self.gw)
 
     def split_like(self, x: jax.Array) -> BlockPack:

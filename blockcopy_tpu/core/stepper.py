@@ -21,6 +21,7 @@ reference's ``BlockCopyModel`` attributes + ``policy_meta`` dict +
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Optional
 
 import jax
@@ -33,7 +34,7 @@ from blockcopy_tpu.core.blocked import (
     scatter_pack,
     split_dense,
 )
-from blockcopy_tpu.ops.layers import adaptive_max_pool2d
+from blockcopy_tpu.ops.layers import adaptive_max_pool2d, resize_bilinear
 from blockcopy_tpu.policy import optim as rmsprop
 from blockcopy_tpu.policy.information_gain import semseg_information_gain
 from blockcopy_tpu.policy.net import (
@@ -45,6 +46,15 @@ from blockcopy_tpu.policy.net import (
 
 FRAME_STATE = "__frame_state__"
 OUT = "__out__"
+# Carry the semseg task outputs in BLOCK layout end-to-end: state["outputs"]
+# is the (N*GH*GW+1, bs/4, bs/4, C) canvas itself instead of its dense
+# rebuild, the information-gain reward is computed per block (exactly equal:
+# the 0.25 bilinear taps never cross block borders and the reward pool is
+# per-block max), and the dense image is rebuilt only at policy-input
+# assembly / fetch.  Removes the every-frame scatter->transpose layout
+# ping-pong the r3 profile attributed ~0.15 ms to.  Decided by full-program
+# A/B; fetch sites use ``FixedCapacityStepper.fetch_outputs``.
+OUT_BLOCKS = os.environ.get("BLOCKCOPY_TPU_OUT_BLOCKS", "0") == "1"
 # The policy consumes the frame-state composite at 1/4*(128/bs) scale, i.e.
 # 32 px per block regardless of block size — so the canvas stores blocks
 # already nearest-downsampled to 32x32 instead of materializing (and then
@@ -136,18 +146,69 @@ class FixedCapacityStepper:
 
     def _model_fn(self, params, pack, ctx) -> Dict:
         """Blocked model -> task outputs (stored into the carried state under
-        ``task_keys``).  Semseg: the dense stride-4 logits."""
+        ``task_keys``).  Semseg: the stride-4 logits — dense, or the block-
+        layout canvas under ``OUT_BLOCKS``."""
         out = self.apply_fn(params, pack, ctx)
+        if OUT_BLOCKS:
+            return {"outputs": ctx.store_blocks(OUT, out)}
         return {"outputs": ctx.store_dense(OUT, out)}
+
+    def fetch_outputs(self, state) -> jax.Array:
+        """Dense (N, H/4, W/4, C) task outputs regardless of the carried
+        layout (callers: CLIs, tests, viz)."""
+        out = state["outputs"]
+        if OUT_BLOCKS and out.shape[0] == self.total + 1:
+            n, gh, gw = self.geom
+            return block_layout_to_dense(out, n, gh, gw)
+        return out
 
     def _output_repr(self, state):
         """Previous-frame output representation for the policy input
-        (semseg: raw logits, reference ``information_gain.py:27-30``)."""
-        return state["outputs"]
+        (semseg: raw logits, reference ``information_gain.py:27-30``).
+
+        Under ``OUT_BLOCKS`` the block-layout canvas is nearest-resized per
+        block to policy resolution (32 px/block) and THEN transposed dense —
+        pixel-identical to resizing the dense rebuild, because block
+        boundaries align with the sampling groups — so the downstream
+        ``assemble_policy_input`` resize short-circuits."""
+        out = state["outputs"]
+        if not OUT_BLOCKS:
+            return out
+        n, gh, gw = self.geom
+        blocks = out[: self.total]
+        b = blocks.shape[1]
+        if b != FS_BS:
+            r = (jnp.arange(FS_BS) * b // FS_BS).astype(jnp.int32)
+            blocks = blocks[:, r][:, :, r]
+        return block_layout_to_dense(blocks, n, gh, gw)
 
     def _information_gain(self, state):
         return semseg_information_gain(state["outputs"],
                                        state["outputs_prev"])
+
+    def _reward_grid(self, state) -> jax.Array:
+        """(n, gh, gw) information-gain reward, max-pooled per block
+        (reference ``policy/policy.py:339`` adaptive_max_pool2d).
+
+        Under ``OUT_BLOCKS`` (semseg only — detection carries no "outputs"
+        key) the KL is computed per block on the canvases: the 0.25
+        bilinear taps stay inside aligned 4-px groups, so per-block resize
+        + KL + per-block max == the dense pipeline exactly."""
+        n, gh, gw = self.geom
+        if OUT_BLOCKS and "outputs" in state \
+                and state["outputs"].shape[0] == self.total + 1:
+            cur = state["outputs"][: self.total].astype(jnp.float32)
+            prev = state["outputs_prev"][: self.total].astype(jnp.float32)
+            b = cur.shape[1]
+            oh = max(1, b // 4)
+            cur = resize_bilinear(cur, (oh, oh))
+            prev = resize_bilinear(prev, (oh, oh))
+            log_p = jax.nn.log_softmax(cur, axis=-1)
+            log_q = jax.nn.log_softmax(prev, axis=-1)
+            kl = (jnp.exp(log_q) * (log_q - log_p)).mean(axis=-1)
+            return kl.max(axis=(1, 2)).reshape(n, gh, gw)
+        ig = self._information_gain(state)
+        return adaptive_max_pool2d(ig, (gh, gw))[..., 0]
 
     # -- state --------------------------------------------------------------
 
@@ -298,10 +359,9 @@ class FixedCapacityStepper:
 
         def do_train(operand):
             params, opt = operand
-            ig = self._information_gain(state)
-            reward = ig + reward_c
-            gh, gw = grid_f.shape[1], grid_f.shape[2]
-            reward_grid = adaptive_max_pool2d(reward, (gh, gw))[..., 0]
+            # reward_c is a scalar, so pooling the IG alone and adding it
+            # after is exactly max(ig + c) per block
+            reward_grid = self._reward_grid(state) + reward_c
             signed = jnp.where(grid_f > 0, reward_grid, -reward_grid)
             signed = jax.lax.stop_gradient(signed)
 
