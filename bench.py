@@ -131,14 +131,14 @@ def main():
 
     fence(state)
 
-    # five independently fenced timing windows; report the MAX: relay/host
+    # independently fenced timing windows; report the MAX: relay/host
     # interference is one-sided (windows only ever spike LOW — measured
     # r3: same compiled program read 230/214/185 FPS across consecutive
     # windows), so the max is the least-biased estimate of true device
-    # throughput.  Cross-checked in-process against interleaved A/B runs
-    # (tools/ab_flag.py).
+    # throughput, and more windows tighten it (r4: 5 -> 8).  Cross-checked
+    # in-process against interleaved A/B runs (tools/ab_flag.py).
     fps_windows = []
-    for _ in range(5):
+    for _ in range(8):
         t0 = time.perf_counter()
         for t in range(args.frames):
             state = step(params, state, staged[t % n_unique])
@@ -157,7 +157,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "estimator": "max_of_5_fenced_windows",
+        "estimator": "max_of_8_fenced_windows",
         "median_fps": round(float(np.median(fps_windows)), 3),
         "windows_fps": [round(float(w), 3) for w in fps_windows],
     }))

@@ -86,7 +86,7 @@ def main():
     # bench.py) — windows only ever spike low.  The median is recorded
     # alongside for comparability with pre-r3 artifacts (advisor finding).
     windows = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         for t in range(args.frames):
             state = step(params, state, staged[t % len(staged)])
@@ -100,7 +100,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / DETECTION_BASELINE_FPS, 3),
-        "estimator": "max_of_3_fenced_windows",
+        "estimator": "max_of_6_fenced_windows",
         "median_fps": round(float(np.median(windows)), 3),
         "windows_fps": [round(float(w), 3) for w in windows],
     }))
