@@ -79,11 +79,14 @@ def main():
     ap.add_argument("--windows", type=int, default=6)
     args = ap.parse_args()
 
-    rs = np.random.RandomState(0)
-    xb = jnp.asarray(rs.randn(args.rows, args.k), jnp.bfloat16)
-    wb = jnp.asarray(rs.randn(args.k, args.n), jnp.bfloat16)
-    xi = jnp.asarray(rs.randint(-127, 128, (args.rows, args.k)), jnp.int8)
-    wi = jnp.asarray(rs.randint(-127, 128, (args.k, args.n)), jnp.int8)
+    # generate operands ON DEVICE: multi-hundred-MB host->device transfers
+    # fail through the axon relay
+    kx, kw = jax.random.split(jax.random.PRNGKey(0))
+    xb = jax.random.normal(kx, (args.rows, args.k), jnp.bfloat16)
+    wb = jax.random.normal(kw, (args.k, args.n), jnp.bfloat16)
+    xi = jax.random.randint(kx, (args.rows, args.k), -127, 128,
+                            jnp.int8)
+    wi = jax.random.randint(kw, (args.k, args.n), -127, 128, jnp.int8)
 
     flops = 2.0 * args.rows * args.k * args.n
     f_bf = make_mm(args.rows, args.k, args.n, jnp.bfloat16, jnp.float32,
