@@ -54,7 +54,15 @@ OUT = "__out__"
 # assembly / fetch.  Removes the every-frame scatter->transpose layout
 # ping-pong the r3 profile attributed ~0.15 ms to.  Decided by full-program
 # A/B; fetch sites use ``FixedCapacityStepper.fetch_outputs``.
+# MEASURED r4: LOSES -3.5% at program level (docs/NEXT_ROUND.md) — keep off.
 OUT_BLOCKS = os.environ.get("BLOCKCOPY_TPU_OUT_BLOCKS", "0") == "1"
+# Lane-packed OUT canvas: store the logits canvas as (total+1, bs, bs*C)
+# instead of (total+1, bs, bs, C).  C=19 wastes 85% of every (8,128) lane
+# tile (19 -> 128 pad); merging the minor dims packs lanes to 608 -> 640
+# pad (5% waste), shrinking the canvas' carried/copied bytes ~6x.  The r4
+# profile attributed ~0.28 ms/frame to the 19-ch output chain (canvas IO
+# relayout copies + scatter + dense rebuild).  Decided by full-program A/B.
+PACKED_OUT = os.environ.get("BLOCKCOPY_TPU_PACKED_OUT", "0") == "1"
 # The policy consumes the frame-state composite at 1/4*(128/bs) scale, i.e.
 # 32 px per block regardless of block size — so the canvas stores blocks
 # already nearest-downsampled to 32x32 instead of materializing (and then
@@ -151,7 +159,27 @@ class FixedCapacityStepper:
         out = self.apply_fn(params, pack, ctx)
         if OUT_BLOCKS:
             return {"outputs": ctx.store_blocks(OUT, out)}
+        if PACKED_OUT:
+            return {"outputs": self._store_dense_packed(ctx, out)}
         return {"outputs": ctx.store_dense(OUT, out)}
+
+    def _store_dense_packed(self, ctx, out) -> jax.Array:
+        """``store_dense`` through a lane-packed (total+1, bs, bs*C) canvas;
+        returns the same dense (N, H/4, W/4, C) image."""
+        k, b, _, c = out.data.shape
+        n, gh, gw = self.geom
+        name = OUT
+        if name not in ctx.canvases:
+            assert ctx.building
+            ctx.canvases[name] = jnp.zeros(
+                (self.total + 1, b, b * c), out.data.dtype)
+        canvas = ctx.canvases[name]
+        canvas = canvas.at[out.idx].set(
+            out.data.reshape(k, b, b * c).astype(canvas.dtype), mode="drop"
+        ).at[-1].set(0.0)
+        ctx.canvases[name] = canvas
+        return block_layout_to_dense(
+            canvas.reshape(self.total + 1, b, b, c), n, gh, gw)
 
     def fetch_outputs(self, state) -> jax.Array:
         """Dense (N, H/4, W/4, C) task outputs regardless of the carried

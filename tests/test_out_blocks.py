@@ -61,6 +61,40 @@ def test_out_blocks_trajectory_matches_dense_carry(params, monkeypatch,
     np.testing.assert_allclose(p_a, p_b, rtol=1e-5, atol=1e-7)
 
 
+def run_clip_flag(params, flagname, flag, monkeypatch, n_frames=5):
+    monkeypatch.setattr(stepper_mod, flagname, flag)
+    cfg = StepperConfig(block_size=128, train_interval=2)
+    st = FixedCapacityStepper(make_apply_fn(CFG), cfg, FRAME_SHAPE,
+                              capacity=4)
+    state = st.init_state(params, jax.random.PRNGKey(1))
+    first = jax.jit(st.first_step)
+    step = jax.jit(st.step)
+    rs = np.random.RandomState(0)
+    base = rs.randn(*FRAME_SHAPE).astype(np.float32)
+    grids, outs = [], []
+    for t in range(n_frames):
+        f = base.copy()
+        f[:, 16 * t: 16 * t + 48, 16 * t: 16 * t + 48] += 2.0
+        state = (first if t == 0 else step)(params, state, jnp.asarray(f))
+        grids.append(np.asarray(state["prev_grid"]))
+        outs.append(np.asarray(st.fetch_outputs(state)))
+    pol = np.asarray(jax.tree_util.tree_leaves(state["policy"]["params"])[0])
+    return grids, outs, pol
+
+
+def test_packed_out_trajectory_matches_dense_carry(params, monkeypatch):
+    """PACKED_OUT (lane-packed (total+1, bs, bs*C) canvas) is a pure layout
+    change: the dense outputs, grids, and policy trajectory must be
+    IDENTICAL to the default carry."""
+    g_a, o_a, p_a = run_clip_flag(params, "PACKED_OUT", False, monkeypatch)
+    g_b, o_b, p_b = run_clip_flag(params, "PACKED_OUT", True, monkeypatch)
+    for ga, gb in zip(g_a, g_b):
+        np.testing.assert_array_equal(ga, gb)
+    for oa, ob in zip(o_a, o_b):
+        np.testing.assert_allclose(oa, ob, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(p_a, p_b, rtol=1e-6, atol=1e-8)
+
+
 def test_out_blocks_state_shape(params, monkeypatch):
     """Under the flag the carried outputs leaf is the canvas itself
     (total+1 block rows), not a dense rebuild."""
