@@ -27,6 +27,7 @@ from typing import Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from blockcopy_tpu.core import blocked as _blockedmod
 from blockcopy_tpu.core import grid as gridlib
@@ -51,6 +52,21 @@ from blockcopy_tpu.utils.profiler import timings
 # to the 1-px borders of skipped blocks (tests/test_detection_stepper.py).
 HEAD_BLOCKED_FINAL = os.environ.get(
     "BLOCKCOPY_TPU_HEAD_BLOCKED_FINAL", "1") == "1"
+
+# Run the three branch ConvModules' first convs as ONE conv with the
+# kernels concatenated along the output-channel axis — mathematically
+# identical per channel (each output channel is the same dot product), but
+# the (K, 32, 32, 768) blocked input is halo-exchanged and read ONCE
+# instead of three times (three separate strip-canvas stores + gathers +
+# ~60 MB input re-reads per frame in the r4 trace: copies 2771/2778/2779).
+# Only applies to ``stacked_convs == 1`` (the shipped CSP config) where all
+# three branches read the same neck output.  See ``csp_head``.
+# Default ON: full-program interleaved A/B (tools/ab_flag_detection.py,
+# 8x150-frame fenced windows) on 142.1 max / 141.8 median FPS vs off
+# 134.8 / 134.3 — +5.5%, on>off in 8/8 windows.  Exactness vs the unfused
+# path: tests/test_detection_stepper.py::TestHeadFusedBranchConv.
+HEAD_FUSED_BRANCH_CONV = os.environ.get(
+    "BLOCKCOPY_TPU_HEAD_FUSED_BRANCH_CONV", "1") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -265,17 +281,39 @@ def csp_head(params, x, ctx: ExecCtx, cfg: CSPConfig):
     blocked_tail = HEAD_BLOCKED_FINAL and not ctx.is_dense \
         and isinstance(x, _blockedmod.BlockPack)
     outs = {}
-    for branch in ("cls", "reg", "offset"):
-        feat = x
-        for i, cm in enumerate(params[f"{branch}_convs"]):
-            feat = L.conv2d(ctx, f"head.{branch}{i}", feat, cm["conv"]["w"])
+    branches = ("cls", "reg", "offset")
+    if HEAD_FUSED_BRANCH_CONV and cfg.stacked_convs == 1:
+        # One conv with output channels [cls | reg | offset]: exact same
+        # per-channel math as three separate convs, one halo exchange of
+        # the 768-ch input instead of three (see HEAD_FUSED_BRANCH_CONV).
+        w_cat = jnp.concatenate(
+            [params[f"{b}_convs"][0]["conv"]["w"] for b in branches], axis=-1)
+        feat_all = L.conv2d(ctx, "head.branch0", x, w_cat)
+        c = cfg.head_feat
+        for j, branch in enumerate(branches):
+            cm = params[f"{branch}_convs"][0]
+            feat = L.emap(
+                lambda d, lo=j * c: lax.slice_in_dim(d, lo, lo + c, axis=-1),
+                feat_all)
             feat = L.group_norm(feat, cfg.gn_groups, cm["gn"]["gamma"],
                                 cm["gn"]["beta"])
             feat = L.relu(feat)
-            # combine to dense after each ConvModule (csp_head.py:135-151)
             if not ctx.is_dense and not blocked_tail:
-                feat = ctx.store_dense(f"head.{branch}{i}.dense", feat)
-        outs[branch] = feat
+                feat = ctx.store_dense(f"head.{branch}0.dense", feat)
+            outs[branch] = feat
+    else:
+        for branch in branches:
+            feat = x
+            for i, cm in enumerate(params[f"{branch}_convs"]):
+                feat = L.conv2d(ctx, f"head.{branch}{i}", feat,
+                                cm["conv"]["w"])
+                feat = L.group_norm(feat, cfg.gn_groups, cm["gn"]["gamma"],
+                                    cm["gn"]["beta"])
+                feat = L.relu(feat)
+                # combine to dense after each ConvModule (csp_head.py:135-151)
+                if not ctx.is_dense and not blocked_tail:
+                    feat = ctx.store_dense(f"head.{branch}{i}.dense", feat)
+            outs[branch] = feat
     fctx = ctx if blocked_tail else ctx.as_dense()
     cls_score = L.conv2d(fctx, "head.csp_cls", outs["cls"],
                          params["csp_cls"]["w"], params["csp_cls"]["b"])

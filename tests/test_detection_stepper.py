@@ -144,6 +144,45 @@ class TestHeadBlockedFinal:
                 np.testing.assert_allclose(xi, yi, rtol=1e-4, atol=5e-5)
 
 
+class TestHeadFusedBranchConv:
+    """HEAD_FUSED_BRANCH_CONV: the three branch ConvModules' first convs run
+    as one conv with kernels concatenated on the output-channel axis
+    (``models/csp.py:csp_head``).  Each output channel is the identical dot
+    product, and the single shared strip canvas holds the same values the
+    three per-branch canvases held — so outputs must match the unfused path
+    on every frame, executed and skipped blocks alike."""
+
+    def _run_two_frames(self, flag, monkeypatch):
+        from blockcopy_tpu.core import grid as gridlib
+        from blockcopy_tpu.core.blocked import ExecCtx, split_dense
+        from blockcopy_tpu.models import csp as csp_mod
+        from blockcopy_tpu.models.csp import CSPConfig, csp_apply, init_csp
+
+        monkeypatch.setattr(csp_mod, "HEAD_FUSED_BRANCH_CONV", flag)
+        cfg = CSPConfig(stage_blocks=(1, 1, 1, 1))
+        params = init_csp(jax.random.PRNGKey(0), cfg)
+        n, gh, gw = 1, 2, 2
+        rs = np.random.RandomState(7)
+        f0 = jnp.asarray(rs.randn(1, 256, 256, 3).astype(np.float32))
+        f1 = f0 + jnp.asarray(rs.randn(1, 256, 256, 3).astype(np.float32))
+
+        idx0 = jnp.arange(4, dtype=jnp.int32)
+        ctx0 = ExecCtx.blocked(idx0, n, gh, gw, {}, building=True)
+        out0 = csp_apply(params, split_dense(f0, idx0, n, gh, gw), ctx0, cfg)
+
+        idx1 = gridlib.exec_indices(
+            jnp.array([[[True, False], [False, True]]]), 2)
+        ctx1 = ExecCtx.blocked(idx1, n, gh, gw, ctx0.canvases)
+        out1 = csp_apply(params, split_dense(f1, idx1, n, gh, gw), ctx1, cfg)
+        return [np.asarray(o) for o in out0], [np.asarray(o) for o in out1]
+
+    def test_exact_equivalence(self, monkeypatch):
+        a0, a1 = self._run_two_frames(False, monkeypatch)
+        b0, b1 = self._run_two_frames(True, monkeypatch)
+        for x, y in zip(a0 + a1, b0 + b1):
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+
 class TestDetectionStepper:
     def _build(self, policy_arch="ref"):
         from blockcopy_tpu.core.stepper import StepperConfig
