@@ -37,8 +37,10 @@ from blockcopy_tpu.core.blocked import (
 from blockcopy_tpu.ops.layers import adaptive_max_pool2d, resize_bilinear
 from blockcopy_tpu.policy import optim as rmsprop
 from blockcopy_tpu.policy.information_gain import semseg_information_gain
+from blockcopy_tpu.policy import net as _polnet
 from blockcopy_tpu.policy.net import (
     assemble_policy_input,
+    assemble_policy_input_split,
     init_policy_net,
     policy_in_channels,
     policy_net_apply,
@@ -449,14 +451,21 @@ class FixedCapacityStepper:
 
         frame_state_prev = state["canvases"][FRAME_STATE]
         fs_dense = block_layout_to_dense(frame_state_prev, n, gh, gw)
-        cache_x = assemble_policy_input(
-            frame, fs_dense, self._output_repr(state), state["prev_grid"],
-            self.cfg.block_size,
-            # fast arch: bf16 assembly (convs run bf16 anyway; halves the
-            # input-assembly and space-to-depth bytes); ref arch stays fp32
-            dtype=jnp.bfloat16 if self.cfg.policy_arch == "fast"
-            else jnp.float32,
-        )
+        if (self.cfg.policy_arch == "fast" and _polnet.POLICY_SPLIT_STEM
+                and _polnet.POLICY_STEM_CONV4):
+            # per-source stem convs; the 26-ch concat never materializes
+            cache_x = assemble_policy_input_split(
+                frame, fs_dense, self._output_repr(state),
+                state["prev_grid"], self.cfg.block_size)
+        else:
+            cache_x = assemble_policy_input(
+                frame, fs_dense, self._output_repr(state), state["prev_grid"],
+                self.cfg.block_size,
+                # fast arch: bf16 assembly (convs run bf16 anyway; halves the
+                # input-assembly and space-to-depth bytes); ref arch stays fp32
+                dtype=jnp.bfloat16 if self.cfg.policy_arch == "fast"
+                else jnp.float32,
+            )
 
         # NOTE: a jax.vjp restructure (reuse this forward's residuals for the
         # REINFORCE backward) was measured SLOWER end-to-end (95.7 vs ~140

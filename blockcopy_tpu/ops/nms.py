@@ -10,10 +10,23 @@ dynamic shapes ever reach XLA.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Greedy-NMS lowering select.  'loop' = the argmax-selection fori loop
+# (max_keep sequential iterations); 'fixpoint' = synchronous fixpoint
+# iteration keep <- valid & ~(suppressors @ keep): the suppression
+# dependency graph is a DAG (edges follow the strict score order), so the
+# iteration converges to EXACTLY the greedy solution after (longest
+# suppression-chain depth + 1) rounds — each round one (N, N) bf16 matvec
+# on the MXU instead of a sequential argmax step.  r4 device profile: the
+# selection loop is ~3.9 us/iteration x 100 = 0.39 ms/frame of the
+# detection step, latency-bound; typical chain depths are single-digit.
+# Decided by full-program A/B (tools/ab_flag_detection.py).
+NMS_IMPL = os.environ.get("BLOCKCOPY_TPU_NMS", "loop")
 
 
 def box_iou_matrix(boxes: jax.Array) -> jax.Array:
@@ -62,6 +75,8 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
     n = boxes.shape[0]
     iou = box_iou_matrix(boxes) if iou is None else iou
     valid = jnp.ones((n,), bool) if valid is None else valid
+    if NMS_IMPL == "fixpoint":
+        return _nms_mask_fixpoint(iou, scores, iou_thr, valid, max_keep)
     iters = n if max_keep is None else min(max_keep, n)
     live = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
 
@@ -80,6 +95,50 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
     keep, _ = jax.lax.fori_loop(
         0, iters, body, (jnp.zeros((n,), bool), live)
     )
+    return keep
+
+
+def _nms_mask_fixpoint(iou: jax.Array, scores: jax.Array, iou_thr: float,
+                       valid: jax.Array, max_keep: int = None) -> jax.Array:
+    """Greedy NMS as a synchronous fixpoint iteration (see NMS_IMPL).
+
+    ``sup[i, j]`` = "j would suppress i if j is kept" = j precedes i in the
+    greedy pivot order (higher score, ties to the lower index) and their IoU
+    exceeds the threshold.  The iteration ``keep <- valid & ~(sup @ keep)``
+    stabilizes node ``i`` once every predecessor in its suppression DAG has
+    stabilized, i.e. after (longest chain depth + 1) <= N rounds, at exactly
+    the sequential sweep's solution; the while_loop exits on the first
+    unchanged round.  The budget-prefix semantics of ``max_keep`` (keep only
+    the first ``max_keep`` kept boxes in pivot order) is one more matvec:
+    rank_i = #{kept j preceding i}.
+    """
+    n = scores.shape[0]
+    s = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    idx = jnp.arange(n)
+    prec = (s[None, :] > s[:, None]) | (
+        (s[None, :] == s[:, None]) & (idx[None, :] < idx[:, None]))
+    # dead (valid=False) rows/cols: never kept, so never suppress
+    supf = (prec & (iou > iou_thr)).astype(jnp.bfloat16)
+
+    def cond(c):
+        keep, prev, it = c
+        return jnp.any(keep != prev) & (it <= n)
+
+    def body(c):
+        keep, prev, it = c
+        hit = supf @ keep.astype(jnp.bfloat16)
+        new = valid & ~(hit > 0)
+        return new, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (valid, ~valid, jnp.int32(0)))
+    if max_keep is not None and max_keep < n:
+        # fp32 accumulation: ranks are exact integer counts (bf16 outputs
+        # round above 256, which could flip the budget cut for large budgets)
+        rank = jax.lax.dot(prec.astype(jnp.bfloat16),
+                           keep.astype(jnp.bfloat16)[:, None],
+                           preferred_element_type=jnp.float32)[:, 0]
+        keep = keep & (rank < max_keep)
     return keep
 
 

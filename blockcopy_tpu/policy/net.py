@@ -91,6 +91,22 @@ S2D = 4  # space-to-depth factor of the "fast" arch stem
 POLICY_STEM_CONV4 = os.environ.get(
     "BLOCKCOPY_TPU_POLICY_STEM_CONV4", "1") == "1"
 
+# Split-stem lowering for the fast arch: keep the four policy-input sources
+# (frame, frame_state, output_repr, prev_grid) SEPARATE and compute the k4s4
+# stem conv as a sum of per-source convs — conv is linear in its input, so
+# conv(concat(a,b,c,d), W) == sum_i conv(x_i, W_i) exactly.  The -0.5 offsets
+# on output_repr/prev_grid fold into a per-channel constant (0.5 * sum of the
+# group's taps), and the prev_grid term needs no conv at all: every 4x4
+# stride-4 window lies inside one constant 32x32 grid cell (4i mod 32 is a
+# multiple of 4, so 4i..4i+3 never crosses a cell edge), making its
+# contribution (g - 0.5) * sum_taps broadcast 8x8 per cell.  Motivation (r4
+# device trace, tools/profile_top.py): the materialized 26-ch concat costs a
+# ~0.107 ms/frame [256,1,8,64,26] formatting copy feeding the stem conv,
+# plus per-train-frame copies of the cached concat — bytes the per-source
+# form never builds.  Decided by full-program A/B (tools/ab_flag.py).
+POLICY_SPLIT_STEM = os.environ.get(
+    "BLOCKCOPY_TPU_POLICY_SPLIT_STEM", "0") == "1"
+
 
 def _space_to_depth(x, r: int):
     n, h, w, c = x.shape
@@ -230,9 +246,46 @@ def _conv_stem4(x, p):
     return out.astype(jnp.float32)
 
 
+def _conv_stem4_split(xs, p):
+    """Split-stem form of ``_conv_stem4`` (see POLICY_SPLIT_STEM): ``xs`` is
+    the (frame, frame_state, output_repr, prev_grid) tuple from
+    ``assemble_policy_input(..., split=True)`` — sources UNoffset, prev_grid
+    at grid resolution.  Exactly conv4s4(concat with -0.5 offsets) up to
+    fp summation order."""
+    frame_q, fs_q, out_q, grid = xs
+    c_f, c_s, c_o = frame_q.shape[-1], fs_q.shape[-1], out_q.shape[-1]
+    c_in = c_f + c_s + c_o + 1
+    w4 = p["w"].reshape(S2D, S2D, c_in, p["w"].shape[-1])
+    w4 = w4.astype(COMPUTE_DTYPE)
+
+    def part(x, w):
+        return jax.lax.conv_general_dilated(
+            x.astype(COMPUTE_DTYPE), w,
+            window_strides=(S2D, S2D), padding=[(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+
+    y = part(frame_q, w4[:, :, :c_f])
+    y = y + part(fs_q, w4[:, :, c_f:c_f + c_s])
+    y = y + part(out_q, w4[:, :, c_f + c_s:c_f + c_s + c_o])
+    # -0.5 offset on output_repr: constant per output channel
+    w_out32 = w4[:, :, c_f + c_s:c_f + c_s + c_o].astype(jnp.float32)
+    y = y - 0.5 * w_out32.sum(axis=(0, 1, 2))
+    # prev_grid: constant within every 4x4 window -> analytic contribution,
+    # broadcast 8x8 per grid cell (cells are 32 px at policy-input scale)
+    gsum = w4[:, :, c_f + c_s + c_o].astype(jnp.float32).sum(axis=(0, 1))
+    gterm = (grid.astype(jnp.float32) - 0.5)[..., None] * gsum
+    n, gh, gw, co = gterm.shape
+    gterm = jnp.broadcast_to(gterm[:, :, None, :, None, :],
+                             (n, gh, 8, gw, 8, co))
+    return y + gterm.reshape(n, gh * 8, gw * 8, co)
+
+
 def _policy_net_fast_apply(params, bn_state, x, update_stats: bool):
     s = jax.tree.map(lambda a: a, bn_state)  # shallow copy
-    if POLICY_STEM_CONV4:
+    if isinstance(x, tuple):
+        x = _conv_stem4_split(x, params["stem"])
+    elif POLICY_STEM_CONV4:
         x = _conv_stem4(x, params["stem"])
     else:
         x = _space_to_depth(x, S2D)
@@ -308,6 +361,32 @@ def assemble_policy_input(
         ) - jnp.asarray(0.5, dtype),
     ]
     return jax.lax.stop_gradient(jnp.concatenate(feats, axis=-1))
+
+
+def assemble_policy_input_split(
+    frame: jax.Array,
+    frame_state: jax.Array,
+    output_repr: jax.Array,
+    prev_grid: jax.Array,
+    block_size: int,
+    dtype=jnp.bfloat16,
+):
+    """Split-stem variant of ``assemble_policy_input`` (POLICY_SPLIT_STEM,
+    fast arch + conv4 stem only): returns the four sources as a tuple —
+    resized but UNconcatenated and UNoffset (offsets fold into the stem
+    conv, see ``_conv_stem4_split``); ``prev_grid`` stays at grid
+    resolution.  The 26-ch concat canvas and its stem-feeding layout copy
+    are never materialized."""
+    n, h, w, _ = frame.shape
+    scale = 0.25 * 128 / block_size
+    oh, ow = int(h * scale), int(w * scale)
+    sg = jax.lax.stop_gradient
+    return (
+        sg(resize_nearest(frame.astype(dtype), (oh, ow))),
+        sg(resize_nearest(frame_state.astype(dtype), (oh, ow))),
+        sg(resize_nearest(output_repr.astype(dtype), (oh, ow))),
+        sg(prev_grid),
+    )
 
 
 def policy_in_channels(num_classes: int) -> int:

@@ -104,6 +104,51 @@ class TestNMS:
             keep_prefix[kept_seq[:k]] = True
             np.testing.assert_array_equal(keep_k, keep_prefix)
 
+    def test_fixpoint_matches_loop(self):
+        """NMS_IMPL='fixpoint' (matvec fixpoint iteration) == the selection
+        loop, on random sets, a budget cut, and an adversarial deep
+        suppression chain (each box suppresses only the next, so the
+        fixpoint needs the full chain depth to converge)."""
+        from blockcopy_tpu.ops import nms as nmsmod
+
+        rs = np.random.RandomState(11)
+        cases = []
+        for _ in range(4):
+            n = 150
+            xy = rs.rand(n, 2) * 80
+            wh = rs.rand(n, 2) * 40 + 4
+            boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+            scores = rs.rand(n).astype(np.float32)
+            valid = rs.rand(n) > 0.2
+            cases.append((boxes, scores, valid))
+        # deep chain: box i at x=6i, width 10 -> overlaps only neighbors;
+        # descending scores => greedy keeps every other box (depth ~n/2)
+        n = 64
+        x = (np.arange(n) * 6.0).astype(np.float32)
+        boxes = np.stack([x, np.zeros(n, np.float32),
+                          x + 12, np.full(n, 10, np.float32)], 1)
+        scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+        cases.append((boxes, scores, np.ones(n, bool)))
+        # score ties: pivot order must break to the lower index in both
+        boxes_t, scores_t, valid_t = cases[0]
+        scores_t = np.round(scores_t, 1)
+        cases.append((boxes_t, scores_t, valid_t))
+
+        old = nmsmod.NMS_IMPL
+        try:
+            for boxes, scores, valid in cases:
+                for k in (None, 7):
+                    got = {}
+                    for impl in ("loop", "fixpoint"):
+                        nmsmod.NMS_IMPL = impl
+                        got[impl] = np.asarray(nms_mask(
+                            jnp.asarray(boxes), jnp.asarray(scores), 0.35,
+                            jnp.asarray(valid), max_keep=k))
+                    np.testing.assert_array_equal(got["loop"],
+                                                  got["fixpoint"])
+        finally:
+            nmsmod.NMS_IMPL = old
+
     def test_soft_nms(self):
         from blockcopy_tpu.ops.nms import soft_nms_numpy
         dets = np.array([[0, 0, 10, 10, 0.9], [1, 1, 11, 11, 0.8],

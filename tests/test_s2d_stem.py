@@ -193,3 +193,65 @@ def test_stem_plane_pool_vs_dense_all_exec():
     got_dense = np.asarray(block_layout_to_dense(
         jnp.asarray(got), n, gh, gw))
     np.testing.assert_allclose(dense, got_dense, rtol=1e-5, atol=1e-5)
+
+
+def test_policy_split_stem_matches_concat():
+    """POLICY_SPLIT_STEM: per-source stem convs + analytic grid/offset terms
+    == conv4s4 of the offset 26-ch concat (linearity; bf16 rounding)."""
+    import blockcopy_tpu.policy.net as N
+
+    rs = np.random.RandomState(7)
+    frame = jnp.asarray(rs.rand(1, 256, 512, 3).astype(np.float32))
+    fs = jnp.asarray(rs.rand(1, 64, 128, 3).astype(np.float32))
+    outr = jnp.asarray(rs.rand(1, 64, 128, 19).astype(np.float32))
+    grid = jnp.asarray((rs.rand(1, 2, 4) > 0.5).astype(np.float32))
+    p, bn = N.init_policy_net(jax.random.PRNGKey(5), 26, arch="fast")
+
+    x = N.assemble_policy_input(frame, fs, outr, grid, 128,
+                                dtype=jnp.bfloat16)
+    xs = N.assemble_policy_input_split(frame, fs, outr, grid, 128)
+    a = np.asarray(N._conv_stem4(x, p["stem"]))
+    b = np.asarray(N._conv_stem4_split(xs, p["stem"]))
+    assert a.shape == b.shape == (1, 16, 32, 128)
+    scale = max(np.abs(a).max(), 1e-6)
+    np.testing.assert_allclose(a, b, atol=8e-3 * scale)
+
+    # full apply accepts the tuple (logits through batch-stat BN stay close)
+    la, _ = N.policy_net_apply(p, bn, x, update_stats=False, arch="fast")
+    lb, _ = N.policy_net_apply(p, bn, xs, update_stats=False, arch="fast")
+    la, lb = np.asarray(la), np.asarray(lb)
+    lscale = max(np.abs(la).max(), 1e-6)
+    np.testing.assert_allclose(la, lb, atol=3e-2 * lscale)
+
+
+def test_policy_split_stem_stepper_smoke():
+    """Fused stepper runs (incl. a REINFORCE update through the tuple cache)
+    under POLICY_SPLIT_STEM=1 and produces finite outputs."""
+    import blockcopy_tpu.policy.net as N
+    from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+    from blockcopy_tpu.models.swiftnet import (
+        SwiftNetConfig, init_swiftnet, make_apply_fn)
+
+    old = N.POLICY_SPLIT_STEM
+    N.POLICY_SPLIT_STEM = True
+    try:
+        cfg = SwiftNetConfig(backbone="resnet18", num_classes=19)
+        params = init_swiftnet(jax.random.PRNGKey(0), cfg)
+        scfg = StepperConfig(block_size=64, block_target=0.5,
+                             train_interval=2, policy_arch="fast")
+        frame_shape = (1, 128, 256, 3)
+        stepper = FixedCapacityStepper(make_apply_fn(cfg), scfg, frame_shape,
+                                       capacity=4)
+        state = stepper.init_state(params, jax.random.PRNGKey(1))
+        rs = np.random.RandomState(0)
+        frame = jnp.asarray(rs.rand(*frame_shape).astype(np.float32))
+        state = stepper.first_step(params, state, frame)
+        for _ in range(5):
+            state = stepper.step(params, state, frame)
+        out = np.asarray(stepper.fetch_outputs(state), np.float32)
+        assert np.isfinite(out).all()
+        leaves = jax.tree_util.tree_leaves(state["policy"]["params"])
+        assert all(np.isfinite(np.asarray(l, np.float32)).all()
+                   for l in leaves)
+    finally:
+        N.POLICY_SPLIT_STEM = old

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--policy-arch", type=str, default="fast")
+    ap.add_argument("--values", type=str, default=None,
+                    help="'off_val,on_val' for string-valued flags "
+                    "(default: bool False,True)")
     args = ap.parse_args()
 
     from blockcopy_tpu.core.stepper import StepperConfig
@@ -71,8 +74,10 @@ def main():
     def fence(s):
         return float(jnp.sum(s["dets"].astype(jnp.float32)))
 
+    values = (False, True) if args.values is None \
+        else tuple(args.values.split(",", 1))
     variants = {}
-    for name, flag in (("off", False), ("on", True)):
+    for name, flag in (("off", values[0]), ("on", values[1])):
         setattr(flagmod, flagname, flag)
         stepper = DetectionStepper(csp_cfg, scfg, frame_shape, capacity,
                                    dtype=dtype)
