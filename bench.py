@@ -14,10 +14,15 @@ reference PolicyNet architecture.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 headline semseg number, printed LAST so the driver's parser picks it up.
-Before that it also runs the detection benchmark (``bench_detection.py``)
-in a bounded subprocess and records its line in ``BENCH_detection.json``
-alongside, so detection throughput is captured by every driver run
-(reference detection cost anchor: ``Pedestron/README.md:51-62``).
+The semseg headline is measured FIRST, in the clean session (r4 verdict:
+running the ~20-minute detection subprocess first depressed the official
+artifact ~9% below clean-session figures on this 1-core host); the
+detection benchmark (``bench_detection.py``) then runs in a bounded
+subprocess and its line is recorded in ``BENCH_detection.json``, so
+detection throughput is still captured by every driver run (reference
+detection cost anchor: ``Pedestron/README.md:51-62``).  Session telemetry
+(host load averages, run order, window spread) is embedded in the JSON so
+a depressed run is diagnosable from the artifact alone.
 """
 
 import argparse
@@ -75,8 +80,12 @@ def main():
                     help="skip the detection side-benchmark (local A/B runs)")
     args = ap.parse_args()
 
-    if not args.skip_detection:
-        run_detection_bench()
+    telemetry = {
+        "run_order": "semseg_first",  # r5: headline measured in the clean
+        # session; the detection subprocess runs AFTER (r4 verdict item 1)
+        "loadavg_start": list(os.getloadavg()),
+        "t_start_unix": round(time.time(), 1),
+    }
 
     from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
     from blockcopy_tpu.models.swiftnet import (
@@ -160,6 +169,19 @@ def main():
             break
 
     fps = float(np.max(fps_windows))
+    telemetry["loadavg_end_semseg"] = list(os.getloadavg())
+    telemetry["semseg_measure_seconds"] = round(
+        time.time() - telemetry["t_start_unix"], 1)
+    # window spread: (max - min) / max — a clean relay session reads < ~3%;
+    # a large spread or a high loadavg marks a contended/depressed session
+    telemetry["window_spread_frac"] = round(
+        (fps - float(np.min(fps_windows))) / fps, 4)
+
+    # detection side-benchmark AFTER the headline is in hand (clean session)
+    if not args.skip_detection:
+        run_detection_bench()
+        telemetry["loadavg_end_detection"] = list(os.getloadavg())
+
     # Record both estimators (advisor finding r3): the headline `value` is
     # the max over fenced windows (one-sided relay noise), but the median is
     # kept alongside so records remain comparable with pre-r3 BENCH_*.json
@@ -172,6 +194,7 @@ def main():
         "estimator": "max_of_adaptive_fenced_windows",
         "median_fps": round(float(np.median(fps_windows)), 3),
         "windows_fps": [round(float(w), 3) for w in fps_windows],
+        "telemetry": telemetry,
     }))
 
 

@@ -364,14 +364,27 @@ def csp_height2bbox(points, heights, offsets, stride=1, wh_ratio=0.41,
     return jnp.stack([x1, y1, x2, y2], -1)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
 def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
-               rescale_factor: float = 1.0):
+               rescale_factor: float = 1.0, nms_impl: str = None):
     """``get_bboxes_single`` (``csp_head.py:232-284``) with static shapes:
     sigmoid scores -> top nms_pre -> csp_height2bbox -> per-class NMS.
 
     Maps are NHWC with N==1.  Returns (dets (max_per_img, 5), labels, valid).
+
+    ``nms_impl`` is resolved eagerly from ``ops.nms.NMS_IMPL`` when None and
+    passed down as a static argument so the NMS lowering choice is part of
+    every jit cache key (see the NMS_IMPL comment in ``ops/nms.py``).
     """
+    from blockcopy_tpu.ops import nms as _nms
+    if nms_impl is None:
+        nms_impl = _nms.NMS_IMPL
+    return _csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg,
+                       rescale_factor, nms_impl)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
+                rescale_factor: float, nms_impl: str):
     stride = cfg.head_stride
     h, w = cls_score.shape[1], cls_score.shape[2]
     scores = jax.nn.sigmoid(
@@ -396,7 +409,7 @@ def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
                              max_shape=img_shape) / rescale_factor
 
     return multiclass_nms_fixed(bboxes, scores, cfg.score_thr, cfg.nms_iou,
-                                cfg.max_per_img)
+                                cfg.max_per_img, impl=nms_impl)
 
 
 def soft_nms_rescore(dets, labels, valid, cfg: CSPConfig):

@@ -26,6 +26,15 @@ import jax.numpy as jnp
 # selection loop is ~3.9 us/iteration x 100 = 0.39 ms/frame of the
 # detection step, latency-bound; typical chain depths are single-digit.
 # Decided by full-program A/B (tools/ab_flag_detection.py).
+#
+# Consumption semantics (advisor finding r4): the global is resolved
+# EAGERLY in the Python wrappers below (``nms_mask``, ``multiclass_nms_fixed``,
+# and ``models.csp.csp_decode``) and passed into the jitted inner functions
+# as a *static argument*, so the chosen impl is part of every jit cache key.
+# Flipping ``nms.NMS_IMPL`` at runtime therefore takes effect on the next
+# *trace* of whatever outer function calls these wrappers (e.g. a freshly
+# built stepper); already-compiled outer programs keep the impl they were
+# traced with — re-jit (or ``jax.clear_caches()``) to change them.
 NMS_IMPL = os.environ.get("BLOCKCOPY_TPU_NMS", "loop")
 
 
@@ -44,7 +53,7 @@ def box_iou_matrix(boxes: jax.Array) -> jax.Array:
 
 def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
              valid: jax.Array = None, iou: jax.Array = None,
-             max_keep: int = None) -> jax.Array:
+             max_keep: int = None, impl: str = None) -> jax.Array:
     """Greedy NMS as a selection loop (scores need NOT be pre-sorted).
 
     Equivalent to the classic sorted sequential sweep — the reference CUDA
@@ -69,13 +78,17 @@ def nms_mask(boxes: jax.Array, scores: jax.Array, iou_thr: float,
             to N (exact full NMS).  Callers that later truncate to the top
             K kept boxes can pass K: kept boxes beyond the budget would be
             dropped by that truncation anyway.
+        impl: 'loop' | 'fixpoint'; None (default) resolves the module-level
+            ``NMS_IMPL`` at trace time (see its comment for cache semantics).
     Returns:
         keep: (N,) bool mask.
     """
     n = boxes.shape[0]
     iou = box_iou_matrix(boxes) if iou is None else iou
     valid = jnp.ones((n,), bool) if valid is None else valid
-    if NMS_IMPL == "fixpoint":
+    if impl is None:
+        impl = NMS_IMPL
+    if impl == "fixpoint":
         return _nms_mask_fixpoint(iou, scores, iou_thr, valid, max_keep)
     iters = n if max_keep is None else min(max_keep, n)
     live = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
@@ -142,19 +155,41 @@ def _nms_mask_fixpoint(iou: jax.Array, scores: jax.Array, iou_thr: float,
     return keep
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
 def multiclass_nms_fixed(
     bboxes: jax.Array,     # (N, 4)
     scores: jax.Array,     # (N, C) — foreground classes only
     score_thr: float,
     iou_thr: float,
     max_per_img: int,
+    impl: str = None,
 ):
     """Per-class NMS with a fixed-size output (reference ``multiclass_nms``
     semantics, ``bbox_nms.py:6-62``, for shared boxes across classes).
 
+    ``impl=None`` resolves the module-level ``NMS_IMPL`` *here, eagerly* —
+    i.e. at the trace time of whatever outer jit calls this wrapper — and
+    passes it into the jitted kernel as a static argument, so the impl is
+    part of the jit cache key and two variants never share a cached jaxpr
+    (advisor finding r4: a module-global read inside a module-level jit is
+    invisible to the cache key).
+
     Returns (dets (max_per_img, 5), labels (max_per_img,), valid mask).
     """
+    if impl is None:
+        impl = NMS_IMPL
+    return _multiclass_nms_fixed(bboxes, scores, score_thr, iou_thr,
+                                 max_per_img, impl)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _multiclass_nms_fixed(
+    bboxes: jax.Array,
+    scores: jax.Array,
+    score_thr: float,
+    iou_thr: float,
+    max_per_img: int,
+    impl: str,
+):
     n, num_classes = scores.shape
     # boxes are shared across classes: one IoU matrix, shared per class
     # (the selection-loop nms_mask needs no pre-sort, so no (N, N) permute
@@ -170,7 +205,7 @@ def multiclass_nms_fixed(
         s = scores[:, c]
         v = s > score_thr
         keep = nms_mask(bboxes, s, iou_thr, v, iou=iou_full,
-                        max_keep=max_per_img)
+                        max_keep=max_per_img, impl=impl)
         all_dets.append(jnp.concatenate([bboxes, s[:, None]], -1))
         all_labels.append(jnp.full((n,), c, jnp.int32))
         all_keep.append(keep)

@@ -276,6 +276,13 @@ def _conv_stem4_split(xs, p):
     gsum = w4[:, :, c_f + c_s + c_o].astype(jnp.float32).sum(axis=(0, 1))
     gterm = (grid.astype(jnp.float32) - 0.5)[..., None] * gsum
     n, gh, gw, co = gterm.shape
+    # the 8x8 per-cell broadcast assumes the stem output has exactly 8
+    # positions per grid cell (policy-input scale 32 px/block / S2D=4);
+    # fail loudly if the geometry ever drifts (advisor finding r4)
+    assert y.shape[1:3] == (gh * 8, gw * 8), (
+        f"split-stem geometry mismatch: stem out {y.shape[1:3]} vs grid "
+        f"{(gh, gw)} * 8 — h/w not divisible by block_size, or a scale "
+        "change broke the 8-positions-per-cell assumption")
     gterm = jnp.broadcast_to(gterm[:, :, None, :, None, :],
                              (n, gh, 8, gw, 8, co))
     return y + gterm.reshape(n, gh * 8, gw * 8, co)

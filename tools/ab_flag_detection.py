@@ -74,8 +74,31 @@ def main():
     def fence(s):
         return float(jnp.sum(s["dets"].astype(jnp.float32)))
 
+    def parse_value(s):
+        # bool flags: '0'/'false'/'off' must become False, not a truthy
+        # string (advisor finding r4: --values 0,1 silently A/B'd on vs on)
+        if isinstance(getattr(flagmod, flagname), bool):
+            low = s.strip().lower()
+            if low in ("0", "false", "off"):
+                return False
+            if low in ("1", "true", "on"):
+                return True
+            raise SystemExit(f"--values: {s!r} is not a bool "
+                             f"(flag {args.flag} is bool-valued)")
+        return s
+
     values = (False, True) if args.values is None \
-        else tuple(args.values.split(",", 1))
+        else tuple(parse_value(v) for v in args.values.split(",", 1))
+    # Cache correctness (advisor finding r4): flags consumed inside
+    # module-level @jax.jit functions used to be invisible to the jit cache
+    # key, so the second variant could silently reuse the first variant's
+    # cached jaxpr.  Fixed at the source: those functions (csp_decode /
+    # multiclass_nms_fixed) now resolve the flag eagerly in a Python wrapper
+    # and pass it as a STATIC argument, so each variant's stepper trace
+    # (built below with the global set to its value) embeds its own variant.
+    # jax.clear_caches() between builds is deliberately NOT used: it would
+    # also drop the first variant's compiled executable, forcing a
+    # mid-window retrace under the wrong global.
     variants = {}
     for name, flag in (("off", values[0]), ("on", values[1])):
         setattr(flagmod, flagname, flag)
@@ -88,11 +111,15 @@ def main():
         for t in range(1, args.warmup + 1):
             state = step(params, state, frame(t))
         fence(state)
-        variants[name] = {"step": step, "state": state, "fps": []}
-        print(f"compiled {args.flag}={name}", flush=True)
+        variants[name] = {"step": step, "state": state, "fps": [],
+                          "flag": flag}
+        print(f"compiled {args.flag}={name} (= {flag!r})", flush=True)
 
     for w in range(args.windows):
         for name, v in variants.items():
+            # re-assert the variant's value so any retrace (host callbacks,
+            # future cache eviction) traces under the right global
+            setattr(flagmod, flagname, v["flag"])
             t0 = time.perf_counter()
             s = v["state"]
             for t in range(args.frames):
