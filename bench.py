@@ -67,7 +67,13 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--target", type=float, default=0.5)
-    ap.add_argument("--frames", type=int, default=60)
+    # 150 frames/window (r5): each window pays one fixed fence cost (a
+    # device->host RPC roundtrip through the relay, ~10-30 ms); at 60-frame
+    # windows that overhead read the same program ~10% low (measured
+    # back-to-back: 262.6 max at 60 frames vs 291.4 at 150 in clean
+    # sessions).  150 matches the A/B tooling (tools/ab_flag.py) so the
+    # artifact and the decision evidence use the same window length.
+    ap.add_argument("--frames", type=int, default=150)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--policy-arch", type=str, default="fast",

@@ -31,7 +31,11 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--target", type=float, default=0.3)
-    ap.add_argument("--frames", type=int, default=40)
+    # 150 frames/window (r5): one fixed fence RPC per window read the semseg
+    # bench ~10% low at short windows (see bench.py); at 133 FPS a 40-frame
+    # window is only ~300 ms — the same per-window overhead class.  150
+    # matches tools/ab_flag_detection.py's window length.
+    ap.add_argument("--frames", type=int, default=150)
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--policy-arch", type=str, default="fast",

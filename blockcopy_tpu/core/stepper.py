@@ -21,6 +21,7 @@ reference's ``BlockCopyModel`` attributes + ``policy_meta`` dict +
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 from typing import Callable, Dict, Optional
 
@@ -243,9 +244,14 @@ class FixedCapacityStepper:
     # -- state --------------------------------------------------------------
 
     def init_policy_state(self, key) -> Dict:
+        # fast arch: logit-head bias starts at logit(block_target) — at
+        # target 0.5 exactly the pre-r5 zero init (see policy/net.py)
+        t = min(max(self.cfg.block_target, 1e-3), 1 - 1e-3)
+        head_bias = math.log(t / (1.0 - t)) \
+            if self.cfg.policy_arch == "fast" else 0.0
         params, bn_state = init_policy_net(
             key, policy_in_channels(self.cfg.num_classes),
-            arch=self.cfg.policy_arch,
+            arch=self.cfg.policy_arch, head_bias=head_bias,
         )
         return {
             "params": params,

@@ -115,7 +115,8 @@ def _space_to_depth(x, r: int):
     return x.reshape(n, h // r, w // r, r * r * c)
 
 
-def _init_policy_net_fast(key, in_channels: int, width: int = 128):
+def _init_policy_net_fast(key, in_channels: int, width: int = 128,
+                          head_bias: float = 0.0):
     """TPU-native policy trunk (``arch='fast'``): a space-to-depth-4 stem
     moves ALL convolution to 1/16 of the input positions with 4x the
     channels.  Same FLOP budget as the reference arch but ~4x fewer
@@ -136,27 +137,42 @@ def _init_policy_net_fast(key, in_channels: int, width: int = 128):
     params["head0"] = _conv_init(ks[3], 3, 3, c2, c2)
     params["head0_bn"] = _bn_init(c2)
     bn_state["head0_bn"] = _bn_state_init(c2)
-    # zero-init the logit head: initial probs are a uniform 0.5 everywhere.
+    # zero-init the logit head WEIGHTS: initial probs are spatially uniform.
     # The reference init (normal, fan-out 9) makes initial logits huge and
     # input-correlated; under the early complexity crush that bakes in a
     # spatially-biased policy the information gain then has to unlearn
     # (measured: bright moving regions started at prob 0.06 and needed
     # hundreds of frames to recover).  A zero head is the standard RL
     # policy-head init and removes the transient entirely.
+    #
+    # The BIAS starts at logit(block_target) rather than 0 (r5): with a zero
+    # bias the initial exec prob is 0.5 everywhere, so at low targets the
+    # signed-square complexity reward spends the first hundreds of updates
+    # uniformly crushing every logit toward the target — a gradient that
+    # swamps the (sparse) information-gain signal, which is the window where
+    # the reference arch learns localization.  Starting at the target makes
+    # the crush term ~0 from the outset so the IG gradient shapes spatial
+    # preference immediately.  At target 0.5 the bias is exactly 0 — the
+    # pre-r5 behavior (and the headline bench operating point) is unchanged.
+    # Measured at t=0.25/amp-6 (VALIDATION_fast_t025_amp6.json history):
+    # see docs/COVERAGE.md quality-frontier table.
     params["head1"] = {"w": jnp.zeros((3, 3, c2, 1), jnp.float32),
-                       "b": jnp.zeros((1,), jnp.float32)}
+                       "b": jnp.full((1,), head_bias, jnp.float32)}
     return params, bn_state
 
 
 def init_policy_net(key, in_channels: int, width_factor: int = 2,
-                    arch: str = "ref"):
+                    arch: str = "ref", head_bias: float = 0.0):
     """ResNet-8 ([1,1,1] BasicBlocks) trunk + head.  Returns (params, bn_state).
 
     ``arch='ref'`` is the reference architecture (parity-tested against the
     torch PolicyNet); ``arch='fast'`` is the TPU-native space-to-depth trunk
-    (same reward/update machinery, ~3x cheaper in bytes)."""
+    (same reward/update machinery, ~3x cheaper in bytes).  ``head_bias``
+    (fast arch only) initializes the logit-head bias — callers pass
+    logit(block_target) so initial sampling starts at the execution target
+    instead of 0.5; the ref arch ignores it (reference-init parity)."""
     if arch == "fast":
-        return _init_policy_net_fast(key, in_channels)
+        return _init_policy_net_fast(key, in_channels, head_bias=head_bias)
     assert arch == "ref", arch
     w = width_factor
     c1, c2, c3 = 16 * w, 32 * w, 64 * w

@@ -240,8 +240,15 @@ class PolicyTrainRL(Policy):
         self.arch = arch
         self.running_cost: Optional[float] = None
 
+        # fast arch: logit head bias starts at logit(target) so sampling
+        # opens AT the execution target — at target 0.5 this is exactly the
+        # pre-r5 zero init (see _init_policy_net_fast); the ref arch keeps
+        # the reference's own init for parity.
+        t = min(max(block_target, 1e-3), 1 - 1e-3)
+        head_bias = float(np.log(t / (1.0 - t))) if arch == "fast" else 0.0
         self.net_params, self.bn_state = init_policy_net(
-            self._next_key(), policy_in_channels(num_classes), arch=arch
+            self._next_key(), policy_in_channels(num_classes), arch=arch,
+            head_bias=head_bias,
         )
         self.opt_state = rmsprop.init(self.net_params)
         self._forward_jit = jax.jit(self._forward_impl)

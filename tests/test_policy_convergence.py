@@ -6,6 +6,7 @@ outputs so no task network is needed."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from blockcopy_tpu.core.argparser import default_settings
 from blockcopy_tpu.policy.policies import build_policy_from_settings
@@ -104,3 +105,58 @@ class TestConvergenceFastArch:
         fast = policy_net_macs(ph, pw, C, arch="fast")
         ref = policy_net_macs(ph, pw, C)
         assert 0 < fast < ref, (fast, ref)
+
+
+class TestHeadBiasInit:
+    """r5: the fast arch's logit-head bias starts at logit(block_target) so
+    initial sampling opens AT the target (the complexity-crush phase that
+    swamped the IG signal at low targets is pre-satisfied); at target 0.5
+    the bias is exactly 0 — the pre-r5 behavior."""
+
+    def test_bias_matches_target_logit(self):
+        import math
+
+        import jax
+        import numpy as np
+        from blockcopy_tpu.core.argparser import default_settings
+        from blockcopy_tpu.policy.policies import build_policy_from_settings
+
+        for target in (0.25, 0.5, 0.75):
+            pol = build_policy_from_settings(default_settings(
+                block_target=target, block_policy_arch="fast"))
+            b = float(np.asarray(pol.net_params["head1"]["b"])[0])
+            assert b == pytest.approx(math.log(target / (1 - target)),
+                                      abs=1e-6)
+            # weights stay zero-init: probs are uniform sigmoid(bias)
+            assert float(np.abs(
+                np.asarray(pol.net_params["head1"]["w"])).max()) == 0.0
+
+    def test_ref_arch_untouched(self):
+        import numpy as np
+        from blockcopy_tpu.core.argparser import default_settings
+        from blockcopy_tpu.policy.policies import build_policy_from_settings
+
+        pol = build_policy_from_settings(default_settings(
+            block_target=0.25, block_policy_arch="ref"))
+        # reference init parity: normal weights, zero bias
+        assert float(np.abs(
+            np.asarray(pol.net_params["head2"]["w"])).max()) > 0.0
+        assert float(np.asarray(pol.net_params["head2"]["b"])[0]) == 0.0
+
+    def test_stepper_policy_state_bias(self):
+        import math
+
+        import jax
+        import numpy as np
+        from blockcopy_tpu.core.stepper import FixedCapacityStepper, StepperConfig
+        from blockcopy_tpu.models.swiftnet import (
+            SwiftNetConfig, init_swiftnet, make_apply_fn)
+
+        cfg = SwiftNetConfig(backbone="resnet18", num_classes=C)
+        scfg = StepperConfig(block_size=BS, block_target=0.25,
+                             train_interval=4, policy_arch="fast")
+        stepper = FixedCapacityStepper(
+            make_apply_fn(cfg), scfg, (1, H, W, 3), capacity=2)
+        pstate = stepper.init_policy_state(jax.random.PRNGKey(0))
+        b = float(np.asarray(pstate["params"]["head1"]["b"])[0])
+        assert b == pytest.approx(math.log(0.25 / 0.75), abs=1e-6)
