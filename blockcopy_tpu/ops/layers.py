@@ -65,7 +65,8 @@ TALL_CONV_MAX_BS = int(_os.environ.get("BLOCKCOPY_TPU_TALL_CONV_BS", "0"))
 # storage; other shapes (7x7 stem, pooling) keep the exchange path.
 #
 # Default OFF: the in-process interleaved A/B on the headline bench
-# (tools/ab_border.py, 10x150-frame fenced windows, r3) measured the
+# (r3's ab_border.py, superseded by tools/ab_flag.py --flag BORDER_CONV;
+# 10x150-frame fenced windows) measured the
 # exchange path FASTER — median 252.6 vs 247.0 FPS (max 255.0 vs 248.6),
 # a consistent ~2.2% across 9/10 windows.  The byte saving is real but the
 # border `.at[].add` slices and the extra einsum dispatches cost more than
