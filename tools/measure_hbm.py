@@ -88,10 +88,52 @@ def _balanced(s: str, start: int) -> int:
     return len(s)
 
 
+def parse_dus_writes(hlo_text: str):
+    """Map fused-computation name -> actual written bytes for computations
+    whose ROOT is a dynamic-update-slice (in-place canvas updates: XLA
+    aliases the canvas operand, so only the update slice is written, not
+    the full output shape).  Returns {comp_name: update_bytes}."""
+    writes = {}
+    comp_re = re.compile(r"^%?([\w.\-]+)(?:\.clone)? \([^)]*\) -> .*\{\s*$",
+                         re.M)
+    for m in comp_re.finditer(hlo_text):
+        comp_name = m.group(1)
+        # collect the body
+        body = []
+        depth = 1
+        for line in hlo_text[m.end():].splitlines():
+            depth += line.count("{") - line.count("}")
+            if depth <= 0:
+                break
+            body.append(line)
+        shapes = {}
+        root = None
+        inst_re = re.compile(r"^\s+(ROOT\s+)?(%?[\w.\-]+)\s+=\s+(\S+)\s+"
+                             r"([\w\-]+)\((.*)$")
+        for line in body:
+            mm = inst_re.match(line)
+            if not mm:
+                continue
+            is_root, name = mm.group(1), mm.group(2).lstrip("%")
+            shapes[name] = shape_bytes(mm.group(3))
+            if is_root:
+                root = (name, mm.group(4), mm.group(5))
+        if root is None or root[1] != "dynamic-update-slice":
+            continue
+        ops = [t.lstrip("%") for t in
+               re.findall(r"%?[A-Za-z_][\w.\-]*", root[2])]
+        if len(ops) >= 2 and ops[1] in shapes:
+            writes[comp_name] = shapes[ops[1]]
+    return writes
+
+
 def parse_entry_traffic(hlo_text: str):
     """Parse the ENTRY computation of optimized HLO; return
     (records, out_bytes_by_name).  One record per top-level instruction:
-    dict(name, opcode, out_bytes, operand_bytes)."""
+    dict(name, opcode, out_bytes, operand_bytes).  Fusions rooted in
+    dynamic-update-slice get 'dus_write_bytes' — the actual aliased
+    in-place write size."""
+    dus_writes = parse_dus_writes(hlo_text)
     # grab the ENTRY block
     m = re.search(r"^ENTRY [^\n{]*\{\s*$", hlo_text, re.M)
     if m is None:
@@ -130,47 +172,93 @@ def parse_entry_traffic(hlo_text: str):
         operands = [t.lstrip("%") for t in
                     re.findall(r"%?[A-Za-z_][\w.\-]*", args)]
         operand_bytes = sum(out_bytes.get(t, 0) for t in operands)
-        records.append({"name": name, "opcode": opcode,
-                        "out_bytes": ob, "operand_bytes": operand_bytes})
+        rec = {"name": name, "opcode": opcode,
+               "out_bytes": ob, "operand_bytes": operand_bytes}
+        cm = re.search(r"calls=%?([\w.\-]+)", rest2[args_end:])
+        if cm and cm.group(1) in dus_writes:
+            rec["dus_write_bytes"] = dus_writes[cm.group(1)]
+        records.append(rec)
     return records, out_bytes
 
 
 def traffic_summary(records):
-    total = 0
+    """Upper AND lower traffic bounds over top-level kernels.
+
+    upper = operand bytes + output bytes per kernel (full-operand reads
+    assumed; gather/slice fusions may read far less, so this can exceed
+    the physical peak).  lower = output bytes only (every kernel at
+    minimum writes its result to HBM; reads could in principle hit
+    VMEM-resident data, so outputs-only is a sound floor).
+
+    Async pairs are deduped: '*-done' ops re-name the bytes their
+    matching '*-start' already moved (and 'copy-start'/'copy-done' both
+    describe ONE copy), so only the -start side is counted; plain 'copy'
+    and everything else count once.
+    """
+    total_u = 0
+    total_l = 0
     by_op = {}
     top = []
+    n_kernels = 0
     for r in records:
-        if r["opcode"] in FREE_OPS:
+        op = r["opcode"]
+        if op in FREE_OPS or op.endswith("-done") or op == "async-done":
             continue
+        n_kernels += 1
         t = r["out_bytes"] + r["operand_bytes"]
-        total += t
-        by_op.setdefault(r["opcode"], [0, 0])
-        by_op[r["opcode"]][0] += 1
-        by_op[r["opcode"]][1] += t
-        top.append((t, f'{r["opcode"]}:{r["name"]}'))
+        # async-start outputs are (operand, result, sched) tuples whose
+        # operand/result both alias the transfer; out_bytes would double
+        # the payload — use operand bytes as the single-copy estimate.
+        if op.endswith("-start"):
+            t = max(r["operand_bytes"], r["out_bytes"] // 2)
+            lo = t
+        elif "dus_write_bytes" in r:
+            # in-place canvas update: only the slice is written (the
+            # canvas operand is aliased); reads bounded by the update too
+            lo = r["dus_write_bytes"]
+            t = r["dus_write_bytes"] * 2 + (
+                r["operand_bytes"] - r["out_bytes"]
+                if r["operand_bytes"] > r["out_bytes"] else 0)
+        else:
+            lo = r["out_bytes"]
+        total_u += t
+        total_l += lo
+        by_op.setdefault(op, [0, 0])
+        by_op[op][0] += 1
+        by_op[op][1] += t
+        top.append((t, f'{op}:{r["name"]}'))
     top.sort(reverse=True)
     return {
-        "total_gb": round(total / 1e9, 4),
+        "total_gb_upper": round(total_u / 1e9, 4),
+        "total_gb_lower": round(total_l / 1e9, 4),
         "by_opcode": {k: {"count": v[0], "gb": round(v[1] / 1e9, 4)}
                       for k, v in sorted(by_op.items(),
                                          key=lambda kv: -kv[1][1])},
         "top10": [{"gb": round(t / 1e9, 4), "inst": n} for t, n in top[:10]],
-        "n_kernels": sum(1 for r in records if r["opcode"] not in FREE_OPS),
+        "n_kernels": n_kernels,
     }
 
 
-def probe_peak_gbs(nbytes=1 << 29, reps=20):
-    """Achieved stream bandwidth: y = x*c+d reads+writes 2*nbytes."""
+def probe_peak_gbs(nbytes=1 << 29, reps=100):
+    """Achieved stream bandwidth: y = x*c+d reads+writes 2*nbytes per
+    iteration.  The rep loop is a lax.scan INSIDE one jit so the relay's
+    per-dispatch latency (~1 ms) is paid once per window, not per rep —
+    the v1 python-loop probe was dispatch-bound and read ~45% of the
+    real stream figure."""
+    from jax import lax
     x = jnp.zeros((nbytes // 4,), jnp.float32)
-    f = jax.jit(lambda a: a * 1.0001 + 0.5)
+
+    @jax.jit
+    def f(a):
+        return lax.scan(lambda c, _: (c * 1.0001 + 0.5, 0.0),
+                        a, None, length=reps)[0]
+
     y = f(x)
     float(y[0])  # compile + fence
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        z = x
-        for _ in range(reps):
-            z = f(z)
+        z = f(x)
         _ = float(z[0])
         dt = time.perf_counter() - t0
         best = max(best, 2.0 * nbytes * reps / dt / 1e9)
@@ -234,6 +322,10 @@ def main():
     compiled = step.lower(params, state, frame).compile()
     records, _ = parse_entry_traffic(compiled.as_text())
     summary = traffic_summary(records)
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = None
 
     # measured step time, fenced windows (same estimator as bench.py)
     state = first(params, state, frame)
@@ -255,10 +347,17 @@ def main():
         "step_ms_best": round(step_ms, 3),
         "fps_best": round(1e3 / step_ms, 1),
         "achieved_gbs_upper_bound": round(
-            summary["total_gb"] / (step_ms / 1e3), 1),
-        "note": ("traffic is an UPPER bound (partial operand reads in "
-                 "slice/gather fusions counted in full); while/conditional "
-                 "bodies excluded — steady-state non-train frame"),
+            summary["total_gb_upper"] / (step_ms / 1e3), 1),
+        "achieved_gbs_lower_bound": round(
+            summary["total_gb_lower"] / (step_ms / 1e3), 1),
+        "flops_g": round(flops / 1e9, 1) if flops else None,
+        "avg_tflops": round(flops / (step_ms / 1e3) / 1e12, 1)
+        if flops else None,
+        "note": ("upper bound assumes full-operand reads (slice/gather "
+                 "fusions counted in full — can exceed physical peak); "
+                 "lower bound counts kernel OUTPUT bytes only; "
+                 "while/conditional bodies excluded — steady-state "
+                 "non-train frame"),
     }
     if args.probe_peak:
         result["stream_peak_gbs"] = round(probe_peak_gbs(), 1)
