@@ -27,6 +27,14 @@ import jax.numpy as jnp
 # detection step, latency-bound; typical chain depths are single-digit.
 # Decided by full-program A/B (tools/ab_flag_detection.py).
 #
+# Default 'fixpoint' (r5): the valid A/B — run AFTER the impl became a
+# static jit argument (the r4b "neutral" A/B compared loop vs loop: the
+# flag was read inside a module-level jit and so was invisible to the
+# cache key; advisor finding) — measures fixpoint **+5.7%** end-to-end
+# on the detection headline (151.55 vs 143.33 FPS max, on>off 8/8
+# fenced interleaved windows, medians 151.23 vs 142.86).
+# BLOCKCOPY_TPU_NMS=loop restores the selection loop.
+#
 # Consumption semantics (advisor finding r4): the global is resolved
 # EAGERLY in the Python wrappers below (``nms_mask``, ``multiclass_nms_fixed``,
 # and ``models.csp.csp_decode``) and passed into the jitted inner functions
@@ -35,7 +43,7 @@ import jax.numpy as jnp
 # *trace* of whatever outer function calls these wrappers (e.g. a freshly
 # built stepper); already-compiled outer programs keep the impl they were
 # traced with — re-jit (or ``jax.clear_caches()``) to change them.
-NMS_IMPL = os.environ.get("BLOCKCOPY_TPU_NMS", "loop")
+NMS_IMPL = os.environ.get("BLOCKCOPY_TPU_NMS", "fixpoint")
 
 
 def box_iou_matrix(boxes: jax.Array) -> jax.Array:
