@@ -159,6 +159,14 @@ class TrainConfig:
     warmup_ratio: float = 1.0 / 3.0
     lr_steps: Tuple[int, ...] = (110, 160)  # epochs
     iters_per_epoch: int = 1000
+    # (cls, bbox, offset) loss weights.  Default = the reference's
+    # (csp_head.py:332-416 via its loss_cls/bbox/offset configs).  The
+    # 0.01 cls weight assumes epochs of training over a large dataset;
+    # short in-process synthetic runs (tools/validate_detection.py) can
+    # up-weight cls so the center heatmap becomes discriminative within
+    # hundreds of iterations instead of collapsing to the background
+    # prior (~1 positive per 32k positions).
+    loss_weights: Tuple[float, float, float] = (0.01, 1.0, 0.1)
 
 
 def lr_at(step, cfg: TrainConfig):
@@ -190,7 +198,7 @@ def make_train_step(model_cfg: CSPConfig, cfg: TrainConfig):
 
     def loss_fn(params, images, gt_maps):
         outs = csp_apply(params, images, ExecCtx.dense(), model_cfg)
-        losses = csp_loss(outs, gt_maps)
+        losses = csp_loss(outs, gt_maps, weights=cfg.loss_weights)
         return sum(losses.values()), losses
 
     def train_step(state, images, gt_maps):
