@@ -67,6 +67,22 @@ class TestLosses:
              jnp.zeros_like(offset[..., :2])), (pos, scale, offset))
         assert sum(map(float, bad.values())) > sum(map(float, good.values()))
 
+    def test_loss_weights_scale_terms(self):
+        # validate_detection.py's short-run regime up-weights cls 100x;
+        # each weight must scale exactly its own term
+        pos, scale, offset = self._maps()
+        outs = (jnp.zeros_like(pos[..., :1]), jnp.zeros_like(scale[..., :1]),
+                jnp.ones_like(offset[..., :2]))
+        base = T.csp_loss(outs, (pos, scale, offset))
+        scaled = T.csp_loss(outs, (pos, scale, offset),
+                            weights=(1.0, 2.0, 0.2))
+        np.testing.assert_allclose(float(scaled["loss_cls"]),
+                                   float(base["loss_cls"]) * 100, rtol=1e-6)
+        np.testing.assert_allclose(float(scaled["loss_bbox"]),
+                                   float(base["loss_bbox"]) * 2, rtol=1e-6)
+        np.testing.assert_allclose(float(scaled["loss_offset"]),
+                                   float(base["loss_offset"]) * 2, rtol=1e-6)
+
 
 class TestTrainStep:
     def test_loss_decreases(self):
