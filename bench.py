@@ -67,13 +67,16 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--target", type=float, default=0.5)
-    # 150 frames/window (r5): each window pays one fixed fence cost (a
-    # device->host RPC roundtrip through the relay, ~10-30 ms); at 60-frame
-    # windows that overhead read the same program ~10% low (measured
-    # back-to-back: 262.6 max at 60 frames vs 291.4 at 150 in clean
-    # sessions).  150 matches the A/B tooling (tools/ab_flag.py) so the
-    # artifact and the decision evidence use the same window length.
-    ap.add_argument("--frames", type=int, default=150)
+    # 300 frames/window (r5): each window pays one fixed fence cost (a
+    # device->host RPC roundtrip through the relay, ~10-30 ms with spikes
+    # to ~100 ms); the shorter the window the more that overhead depresses
+    # AND scatters the readings.  Measured back-to-back on the same
+    # compiled program: 60-frame windows 262.6 max, 150-frame 291.4 max /
+    # 267.6 median (spread 19%), 300-frame **300.0 max / 299.6 median**
+    # with 14/16 windows inside [298.6, 300.0] (spread 7.6%, only the two
+    # warm-in windows low).  The A/B tooling (tools/ab_flag.py) stays at
+    # 150 since interleaving cares about window count, not absolute level.
+    ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--policy-arch", type=str, default="fast",
