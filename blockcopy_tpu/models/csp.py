@@ -68,6 +68,39 @@ HEAD_BLOCKED_FINAL = os.environ.get(
 HEAD_FUSED_BRANCH_CONV = os.environ.get(
     "BLOCKCOPY_TPU_HEAD_FUSED_BRANCH_CONV", "1") == "1"
 
+# Top-k lowering of the decode's nms_pre candidate selection
+# (``get_bboxes_single``'s ``max_scores.topk(nms_pre)``, reference
+# ``csp_head.py:252-258``).  'sort' = ``lax.top_k`` (lowers to a full
+# variadic sort of all H/4*W/4 = 131072 positions — the r5 device trace
+# attributes 0.112 ms/frame to it); 'approx' = ``lax.approx_max_k`` with
+# ``recall_target=1.0`` — the TPU PartialReduce custom call (per-window
+# maxima, then an exact top-k over the reduced set), which is
+# value-exact at recall 1.0.  Caveat: when several candidates TIE exactly
+# at the k-th score, the two lowerings may select a different (equally
+# valid) index subset; ``lax.top_k`` breaks ties to the lowest index.
+# Resolved eagerly in ``csp_decode`` and passed as a static jit argument
+# (same cache-key discipline as NMS_IMPL).  Default 'approx' (r5):
+# full-program A/B (tools/ab_flag_detection.py, 8x150-frame interleaved
+# fenced windows) measured 153.36 vs 152.39 FPS max / 152.99 vs 151.65
+# median (+0.6%/+0.9%).  A boundary tie only matters when it sits at rank
+# nms_pre with score > score_thr — candidates below score_thr are dropped
+# by the NMS validity mask either way; BLOCKCOPY_TPU_TOPK=sort restores
+# lowest-index tie-break exactly.
+TOPK_IMPL = os.environ.get("BLOCKCOPY_TPU_TOPK", "approx")
+
+# Compute the decode's candidate point coordinates arithmetically from the
+# top-k indices (x = i % W, y = i // W) instead of materializing the full
+# (H/4*W/4, 2) points array and gathering rows from it.  Bit-exact: the
+# flattened iota index is y*W + x by construction, and the identical int32
+# products/casts are applied either way.  Removes a (131072, 2) stack, its
+# layout copy (r5 trace: copy.2634, 0.048 ms/frame) and the 131072-row
+# gather.  Default ON: bit-exact (pinned by
+# tests/test_detection.py::test_decode_lean_points_exact) and measured
+# +0.9% by full-program A/B (152.53 vs 151.16 FPS max, on>off 8/8
+# windows, tools/ab_flag_detection.py).
+DECODE_LEAN_POINTS = os.environ.get(
+    "BLOCKCOPY_TPU_DECODE_LEAN_POINTS", "1") == "1"
+
 
 @dataclasses.dataclass(frozen=True)
 class CSPConfig:
@@ -371,20 +404,23 @@ def csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
 
     Maps are NHWC with N==1.  Returns (dets (max_per_img, 5), labels, valid).
 
-    ``nms_impl`` is resolved eagerly from ``ops.nms.NMS_IMPL`` when None and
-    passed down as a static argument so the NMS lowering choice is part of
-    every jit cache key (see the NMS_IMPL comment in ``ops/nms.py``).
+    ``nms_impl`` / ``topk_impl`` are resolved eagerly from
+    ``ops.nms.NMS_IMPL`` / ``TOPK_IMPL`` when None and passed down as static
+    arguments so each lowering choice is part of every jit cache key (see
+    the NMS_IMPL comment in ``ops/nms.py``).
     """
     from blockcopy_tpu.ops import nms as _nms
     if nms_impl is None:
         nms_impl = _nms.NMS_IMPL
     return _csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg,
-                       rescale_factor, nms_impl)
+                       rescale_factor, nms_impl, TOPK_IMPL,
+                       DECODE_LEAN_POINTS)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def _csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
-                rescale_factor: float, nms_impl: str):
+                rescale_factor: float, nms_impl: str, topk_impl: str = "sort",
+                lean_points: bool = True):
     stride = cfg.head_stride
     h, w = cls_score.shape[1], cls_score.shape[2]
     scores = jax.nn.sigmoid(
@@ -392,17 +428,31 @@ def _csp_decode(cls_score, bbox_pred, offset_pred, img_shape, cfg: CSPConfig,
     )
     heights = jnp.exp(bbox_pred[0].reshape(-1, bbox_pred.shape[-1]))
     offsets = offset_pred[0].reshape(-1, 2)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
-    points = jnp.stack([xs * stride, ys * stride], -1).astype(jnp.float32) \
-        + stride // 2
 
     nms_pre = min(cfg.nms_pre, scores.shape[0])
     max_scores = scores.max(axis=1)
-    _, topk = jax.lax.top_k(max_scores, nms_pre)
-    points, heights, offsets, scores = (
-        points[topk], heights[topk], offsets[topk], scores[topk]
-    )
+    if topk_impl == "approx":
+        _, topk = jax.lax.approx_max_k(max_scores, nms_pre,
+                                       recall_target=1.0)
+    else:
+        assert topk_impl == "sort", topk_impl
+        _, topk = jax.lax.top_k(max_scores, nms_pre)
+    if lean_points:
+        # flattened index i = y*W + x (see DECODE_LEAN_POINTS): identical
+        # int32 products + f32 casts as the gathered full points array
+        xs = topk % w
+        ys = topk // w
+        points = jnp.stack([xs * stride, ys * stride], -1).astype(
+            jnp.float32) + stride // 2
+        heights, offsets, scores = heights[topk], offsets[topk], scores[topk]
+    else:
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(-1)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(-1)
+        points = jnp.stack([xs * stride, ys * stride], -1).astype(
+            jnp.float32) + stride // 2
+        points, heights, offsets, scores = (
+            points[topk], heights[topk], offsets[topk], scores[topk]
+        )
 
     bboxes = csp_height2bbox(points, heights, offsets, stride=stride,
                              wh_ratio=cfg.wh_ratio,

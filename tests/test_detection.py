@@ -211,6 +211,51 @@ class TestCSPForward:
         assert abs((top[3] - top[1]) - 40.0) < 1.0
         assert abs((top[2] - top[0]) - 0.41 * 40.0) < 1.0
 
+    def _random_maps(self, seed=3):
+        rs = np.random.RandomState(seed)
+        cls = jnp.asarray(rs.randn(1, 64, 128, 1).astype(np.float32) * 2 - 2)
+        bbox = jnp.asarray(rs.randn(1, 64, 128, 1).astype(np.float32) * 0.3
+                           + np.log(12.0))
+        off = jnp.asarray(rs.randn(1, 64, 128, 2).astype(np.float32) * 0.2)
+        return cls, bbox, off
+
+    def test_decode_lean_points_exact(self):
+        """DECODE_LEAN_POINTS (x=i%W, y=i//W from the top-k indices) is
+        bit-exact vs gathering the materialized full points array."""
+        import blockcopy_tpu.models.csp as cspmod
+
+        cls, bbox, off = self._random_maps()
+        old = cspmod.DECODE_LEAN_POINTS
+        try:
+            outs = {}
+            for flag in (False, True):
+                cspmod.DECODE_LEAN_POINTS = flag
+                outs[flag] = csp_decode(cls, bbox, off, (H, W), CFG)
+            for a, b in zip(outs[False], outs[True]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        finally:
+            cspmod.DECODE_LEAN_POINTS = old
+
+    def test_decode_topk_approx_matches_sort(self):
+        """TOPK_IMPL='approx' (approx_max_k at recall 1.0) == 'sort'
+        (lax.top_k) through the whole decode, on score maps without exact
+        ties (ties at the k-th score are the documented caveat where the
+        selected index subsets may legitimately differ)."""
+        import blockcopy_tpu.models.csp as cspmod
+
+        cls, bbox, off = self._random_maps(seed=7)
+        old = cspmod.TOPK_IMPL
+        try:
+            outs = {}
+            for impl in ("sort", "approx"):
+                cspmod.TOPK_IMPL = impl
+                outs[impl] = csp_decode(cls, bbox, off, (H, W), CFG)
+            for a, b in zip(outs["sort"], outs["approx"]):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=0, atol=0)
+        finally:
+            cspmod.TOPK_IMPL = old
+
 
 class TestDetectionIG:
     def test_identical_boxes_zero_gain(self):
