@@ -256,6 +256,37 @@ class TestCSPForward:
         finally:
             cspmod.TOPK_IMPL = old
 
+    def test_decode_topk_ties_below_thr_harmless(self):
+        """The documented TOPK='approx' tie caveat is only about WHICH of
+        several exactly-tied candidates at the nms_pre boundary get
+        selected.  When those ties sit below score_thr (the common case: a
+        constant background sea), the tied candidates are invalid in the
+        NMS either way, so the VALID rows of the final output must be
+        identical between the two lowerings."""
+        import blockcopy_tpu.models.csp as cspmod
+
+        # constant background logit => 8191 exactly-tied candidates below
+        # score_thr=0.1; one strong peak above it
+        cls = jnp.full((1, 64, 128, 1), -4.0)   # sigmoid ~0.018 < 0.1
+        cls = cls.at[0, 20, 40, 0].set(5.0)
+        bbox = jnp.full((1, 64, 128, 1), jnp.log(12.0))
+        off = jnp.zeros((1, 64, 128, 2))
+        old = cspmod.TOPK_IMPL
+        try:
+            outs = {}
+            for impl in ("sort", "approx"):
+                cspmod.TOPK_IMPL = impl
+                outs[impl] = [np.asarray(a) for a in
+                              csp_decode(cls, bbox, off, (H, W), CFG)]
+        finally:
+            cspmod.TOPK_IMPL = old
+        d_s, l_s, v_s = outs["sort"]
+        d_a, l_a, v_a = outs["approx"]
+        np.testing.assert_array_equal(v_s, v_a)
+        np.testing.assert_array_equal(d_s[v_s], d_a[v_a])
+        np.testing.assert_array_equal(l_s[v_s], l_a[v_a])
+        assert v_s.sum() >= 1
+
 
 class TestDetectionIG:
     def test_identical_boxes_zero_gain(self):
